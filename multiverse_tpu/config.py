@@ -1,0 +1,149 @@
+"""Single dataclass configuration for the whole framework.
+
+Replaces the reference's per-entry-point argparse namespaces
+(reference: code/train.py:25-138, code/test.py:22-134,
+code/pred_utils.py:70-146 `process_args`) with one serializable config.
+Derived fields (`scene_grids`, `use_grids`) mirror the derivations in
+`process_args` (reference: code/pred_utils.py:121-132).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+
+def _grid_shape(scene_h: int, scene_w: int, stride: int) -> Tuple[int, int]:
+    # round() (banker's rounding in py3) to match the reference derivation
+    # (reference: code/pred_utils.py:127-132); consistent with a stride-s
+    # SAME conv over an odd-sized input.
+    return int(round(scene_h / stride)), int(round(scene_w / stride))
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiverseConfig:
+    """Model + training hyperparameters.
+
+    Defaults follow the published Multiverse configs
+    (reference: TESTING.md "Single Future" command; TRAINING.md Step 2).
+    """
+
+    # --- sequence lengths
+    obs_len: int = 8
+    pred_len: int = 12
+
+    # --- scene semantic input
+    scene_h: int = 36
+    scene_w: int = 64
+    scene_class: int = 11  # top-10 ADE20k classes + background
+    scene_conv_kernel: int = 3
+    scene_conv_dim: int = 64
+
+    # --- model dims
+    emb_size: int = 32
+    enc_hidden_size: int = 256
+    dec_hidden_size: int = 256
+    convlstm_kernel: int = 3
+    activation: str = "tanh"  # relu | lrelu | tanh
+
+    # --- grid scales
+    scene_grid_strides: Tuple[int, ...] = (2, 4)
+    use_grids: Tuple[bool, ...] = (True, False)
+
+    # --- model variants
+    use_gnn: bool = True
+    use_scene_enc: bool = True
+    use_single_decoder: bool = False
+    use_teacher_forcing: bool = False
+    train_w_onehot: bool = True
+    use_soft_grid_class: bool = False
+    soft_grid: int = 1
+    mask_grid_regression: bool = False
+
+    # --- beam search
+    use_beam_search: bool = False
+    beam_size: int = 20
+    diverse_beam: bool = False
+    diverse_gamma: float = 0.01
+    fix_num_timestep: int = 0
+
+    # --- video geometry (pixel space for rasterization)
+    video_h: int = 1080
+    video_w: int = 1920
+
+    # --- losses
+    grid_loss_weight: float = 1.0
+    grid_reg_loss_weight: float = 0.1
+    wd: float = 0.0001
+
+    # --- optimization
+    optimizer: str = "adadelta"  # momentum | adadelta | adam | rmsprop
+    init_lr: float = 0.3
+    emb_lr: float = 1.0
+    learning_rate_decay: Optional[float] = 0.95
+    num_epoch_per_decay: float = 2.0
+    use_cosine_lr: bool = False
+    clip_gradient_norm: Optional[float] = 10.0
+    keep_prob: float = 1.0
+    batch_size: int = 20
+    num_epochs: int = 80
+
+    # --- numerics
+    compute_dtype: str = "float32"  # float32 | bfloat16 for conv compute
+
+    # ------------------------------------------------------------------
+    @property
+    def seq_len(self) -> int:
+        return self.obs_len + self.pred_len
+
+    @property
+    def scene_grids(self) -> Tuple[Tuple[int, int], ...]:
+        return tuple(
+            _grid_shape(self.scene_h, self.scene_w, s)
+            for s in self.scene_grid_strides
+        )
+
+    @property
+    def active_scales(self) -> Tuple[int, ...]:
+        return tuple(i for i, u in enumerate(self.use_grids) if u)
+
+    @property
+    def num_scales(self) -> int:
+        return len(self.scene_grid_strides)
+
+    def validate(self) -> "MultiverseConfig":
+        if len(self.use_grids) != len(self.scene_grid_strides):
+            raise ValueError("use_grids must match scene_grid_strides")
+        if sum(self.use_grids) > 2:
+            raise ValueError("at most two active grid scales")
+        if self.use_beam_search and sum(self.use_grids) != 1:
+            raise ValueError("beam search supports exactly one active scale")
+        if self.enc_hidden_size != self.dec_hidden_size:
+            # encoder last state seeds the decoder state directly
+            raise ValueError("enc_hidden_size must equal dec_hidden_size")
+        return self
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw) -> "MultiverseConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "MultiverseConfig":
+        d = json.loads(s)
+        for key in ("scene_grid_strides", "use_grids"):
+            if key in d and isinstance(d[key], list):
+                d[key] = tuple(d[key])
+        return cls(**d)
+
+    @classmethod
+    def parse_strides(cls, strides: str, use_grids: str) -> dict:
+        """Parse reference-CLI style "2,4" / "1,0" strings."""
+        return dict(
+            scene_grid_strides=tuple(int(s) for s in strides.split(",")),
+            use_grids=tuple(bool(int(u)) for u in use_grids.split(",")),
+        )

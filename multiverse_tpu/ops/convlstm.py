@@ -1,0 +1,126 @@
+"""ConvLSTM cell with tf.contrib.rnn.ConvLSTMCell gate semantics.
+
+The reference's recurrent core is ``tf.contrib.rnn.ConvLSTMCell``
+(reference: code/pred_models.py:189-249). Its cell math (from the TF 1.15
+contrib source, contrib/rnn/python/ops/rnn_cell.py ConvLSTMCell.call):
+
+    conv_in = conv2d(concat([x, h], -1), kernel)   # one fused conv
+    i, g, f, o = split(conv_in + bias, 4, axis=-1) # gate order: i, g, f, o
+    c' = sigmoid(f + forget_bias) * c + sigmoid(i) * tanh(g)
+    h' = tanh(c') * sigmoid(o)
+
+with forget_bias = 1.0, bias initialised to zeros, kernel to
+glorot_uniform (TF1 get_variable default).
+
+TPU design: the fused conv over concat([x, h]) is a single large NHWC
+conv — with hidden 256 channels it maps straight onto the MXU. Time
+iteration is driven by ``lax.scan`` (see :func:`convlstm_scan`) instead
+of TF's dynamic_rnn.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multiverse_tpu.ops.layers import Params
+
+
+class ConvLSTMState(NamedTuple):
+    c: jnp.ndarray  # [N, H, W, D] cell memory
+    h: jnp.ndarray  # [N, H, W, D] hidden
+
+
+def convlstm_init(
+    key: jax.Array, in_ch: int, hidden_ch: int, kernel: int = 3
+) -> Params:
+    """Kernel [k, k, in+hidden, 4*hidden] (glorot_uniform) + zero bias."""
+    init = jax.nn.initializers.glorot_uniform()
+    return {
+        "kernel": init(key, (kernel, kernel, in_ch + hidden_ch, 4 * hidden_ch)),
+        "bias": jnp.zeros((4 * hidden_ch,), dtype=jnp.float32),
+    }
+
+
+def convlstm_step(
+    params: Params,
+    x: jnp.ndarray,
+    state: ConvLSTMState,
+    forget_bias: float = 1.0,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> Tuple[jnp.ndarray, ConvLSTMState]:
+    """One cell step. x: [N, H, W, Cin]; state c/h: [N, H, W, D]."""
+    c, h = state
+    xin = jnp.concatenate([x, h], axis=-1)
+    kernel = params["kernel"]
+    precision = jax.lax.Precision.HIGHEST
+    if compute_dtype is not None:
+        xin = xin.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+        precision = jax.lax.Precision.DEFAULT
+    gates = jax.lax.conv_general_dilated(
+        xin,
+        kernel,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    gates = gates + params["bias"]
+    i, g, f, o = jnp.split(gates, 4, axis=-1)
+    new_c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+    return new_h, ConvLSTMState(c=new_c, h=new_h)
+
+
+def convlstm_scan(
+    params: Params,
+    xs: jnp.ndarray,
+    init_state: Optional[ConvLSTMState] = None,
+    seq_lengths: Optional[jnp.ndarray] = None,
+    forget_bias: float = 1.0,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> Tuple[jnp.ndarray, ConvLSTMState]:
+    """Run the cell over time with ``lax.scan``.
+
+    Equivalent of tf.nn.dynamic_rnn with sequence_length semantics
+    (reference: code/pred_models.py:212-234): past an example's length
+    the emitted output is zero and the state is frozen.
+
+    Args:
+        xs: [N, T, H, W, Cin] time-major inside the scan.
+        seq_lengths: optional [N] int; None = full length for all.
+    Returns:
+        (outputs [N, T, H, W, D], final ConvLSTMState)
+    """
+    N, T = xs.shape[0], xs.shape[1]
+    H, W = xs.shape[2], xs.shape[3]
+    D = params["kernel"].shape[-1] // 4
+    if init_state is None:
+        zeros = jnp.zeros((N, H, W, D), dtype=jnp.float32)
+        init_state = ConvLSTMState(c=zeros, h=zeros)
+
+    xs_t = jnp.moveaxis(xs, 1, 0)  # [T, N, H, W, Cin]
+
+    def body(carry, inp):
+        state, t = carry
+        x_t = inp
+        out, new_state = convlstm_step(
+            params, x_t, state, forget_bias, compute_dtype
+        )
+        if seq_lengths is not None:
+            active = (t < seq_lengths)[:, None, None, None]
+            out = jnp.where(active, out, 0.0)
+            new_state = ConvLSTMState(
+                c=jnp.where(active, new_state.c, state.c),
+                h=jnp.where(active, new_state.h, state.h),
+            )
+        return (new_state, t + 1), out
+
+    (final_state, _), outs = jax.lax.scan(
+        body, (init_state, jnp.asarray(0, jnp.int32)), xs_t
+    )
+    return jnp.moveaxis(outs, 0, 1), final_state

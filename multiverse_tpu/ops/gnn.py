@@ -1,0 +1,101 @@
+"""Graph attention over grid cells ("GNN" in the reference).
+
+Parameter-free graph step applied to the decoder hidden state every
+decode timestep (reference: code/pred_models.py:359-382, 631-654):
+
+1. node features = decoder h, optionally ⊕ time-averaged scene conv
+   features (reference: :824-838);
+2. edge weights = cosine similarity between all cell pairs — an
+   l2-normalize + one [N, HW, HW] matmul (reference: :842-856);
+3. mask to the 3×3 spatial neighborhood with −1e30 fill
+   (reference: `gnn_mask_edge` :885-909 + `exp_mask` :1399-1401);
+4. node update = softmax-weighted sum of neighbor states
+   (reference: `gnn_node` :860-882);
+5. residual add into the LSTM hidden (done by the caller).
+
+TPU design: the HW×HW similarity and aggregation matmuls are exactly
+MXU-shaped (576×576×(D+C) at the 18×32 scale). The neighbor mask is a
+compile-time constant computed in numpy — no conv-of-identity tricks
+needed (the reference builds it by convolving HW one-hot maps with a
+3×3 ones kernel each graph build).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=16)
+def gnn_neighbor_mask(h: int, w: int) -> np.ndarray:
+    """[h*w, h*w] float32; mask[a, b] = 1 if cell b is within the 3×3
+    neighborhood of cell a (self included).
+
+    Matches the conv-with-ones construction at
+    reference: code/pred_models.py:885-909.
+    """
+    ys, xs = np.divmod(np.arange(h * w), w)
+    dy = np.abs(ys[:, None] - ys[None, :])
+    dx = np.abs(xs[:, None] - xs[None, :])
+    return ((dy <= 1) & (dx <= 1)).astype(np.float32)
+
+
+def gnn_step(
+    hidden: jnp.ndarray,
+    neighbor_mask: jnp.ndarray,
+    scene_feat: Optional[jnp.ndarray] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """One graph-attention aggregation step.
+
+    Args:
+        hidden: [N, H, W, D] decoder hidden state.
+        neighbor_mask: [H*W, H*W] from :func:`gnn_neighbor_mask`.
+        scene_feat: optional [N, H, W, C] time-averaged scene conv
+            features concatenated into the node features
+            (reference: code/pred_models.py:824-838).
+    Returns:
+        [N, H, W, D] aggregated neighbor states (caller adds residually).
+    """
+    N, H, W, D = hidden.shape
+    K = H * W
+    states = hidden.reshape(N, K, D)
+
+    node = states
+    if scene_feat is not None:
+        node = jnp.concatenate(
+            [states, scene_feat.reshape(N, K, -1)], axis=-1
+        )
+    # cosine similarity == matmul of l2-normalized features
+    # (tf.nn.l2_normalize semantics: x / sqrt(max(sum(x^2), 1e-12)))
+    sumsq = jnp.sum(jnp.square(node), axis=-1, keepdims=True)
+    node = node * jax.lax.rsqrt(jnp.maximum(sumsq, 1e-12))
+    precision = jax.lax.Precision.HIGHEST
+    if compute_dtype is not None:
+        node = node.astype(compute_dtype)
+        precision = jax.lax.Precision.DEFAULT
+    edges = jnp.einsum(
+        "nkd,nld->nkl",
+        node,
+        node,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    # additive -1e30 mask outside the 3x3 neighborhood, then softmax
+    edges = edges + (1.0 - neighbor_mask)[None, :, :] * -1e30
+    attn = jax.nn.softmax(edges, axis=-1)
+    if compute_dtype is not None:
+        attn = attn.astype(compute_dtype)
+        states = states.astype(compute_dtype)
+    agg = jnp.einsum(
+        "nkl,nld->nkd",
+        attn,
+        states,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    return agg.reshape(N, H, W, D)

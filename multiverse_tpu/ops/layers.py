@@ -1,0 +1,145 @@
+"""Core layer library: conv2d / linear with reference-matching inits.
+
+Design notes (TPU):
+* NHWC layout throughout — XLA:TPU's native conv layout; channel dims are
+  sized so the MXU tiles cleanly (256/64 channels).
+* Weights named ``w`` correspond to the reference's ``.*/W`` variables and
+  are the only params subject to L2 weight decay
+  (reference: code/pred_models.py:1253-1275 `wd_cost` regex ".*/W";
+  ConvLSTM kernels are named "kernel" there and are NOT decayed).
+* conv2d init: variance_scaling(scale=2.0, fan_in, truncated_normal)
+  (reference: code/pred_models.py:1358-1359).
+* linear init: truncated_normal(stddev=0.1)
+  (reference: code/pred_models.py:1422-1428).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, jnp.ndarray]
+
+_CONV_INIT = jax.nn.initializers.variance_scaling(
+    2.0, "fan_in", "truncated_normal"
+)
+
+
+def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """reference: code/pred_utils.py:86-94."""
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return jax.nn.leaky_relu
+    if name == "tanh":
+        return jnp.tanh
+    if name in ("identity", "linear", "none"):
+        return lambda x: x
+    return jax.nn.relu
+
+
+def init_conv(
+    key: jax.Array,
+    in_ch: int,
+    out_ch: int,
+    kernel: int = 3,
+    add_bias: bool = True,
+) -> Params:
+    """Conv2d params. Weight shape [kh, kw, in, out] (HWIO)."""
+    p: Params = {"w": _CONV_INIT(key, (kernel, kernel, in_ch, out_ch))}
+    if add_bias:
+        p["b"] = jnp.zeros((out_ch,), dtype=jnp.float32)
+    return p
+
+
+def conv2d(
+    params: Params,
+    x: jnp.ndarray,
+    stride: int = 1,
+    activation: Optional[Callable] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """SAME-padded NHWC conv (reference: code/pred_models.py:1333-1373).
+
+    ``compute_dtype=bfloat16`` casts inputs+weights for the MXU and
+    accumulates in float32 (preferred_element_type).
+    """
+    w = params["w"]
+    # f32 path: force full-precision accumulation (XLA's DEFAULT uses
+    # reduced-precision passes on both TPU and CPU). bf16 path: cast and
+    # let the MXU run natively, accumulating in f32.
+    precision = lax.Precision.HIGHEST
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        precision = lax.Precision.DEFAULT
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if "b" in params:
+        out = out + params["b"]
+    if activation is not None:
+        out = activation(out)
+    return out
+
+
+def init_linear(
+    key: jax.Array, in_dim: int, out_dim: int, add_bias: bool = False
+) -> Params:
+    p: Params = {
+        "w": jax.random.truncated_normal(
+            key, -2.0, 2.0, (in_dim, out_dim), dtype=jnp.float32
+        )
+        * 0.1
+    }
+    if add_bias:
+        p["b"] = jnp.zeros((out_dim,), dtype=jnp.float32)
+    return p
+
+
+def linear(
+    params: Params,
+    x: jnp.ndarray,
+    activation: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """Fully connected over the last axis (reference: pred_models.py:1404-1447)."""
+    out = jnp.einsum(
+        "...i,io->...o", x, params["w"], precision=lax.Precision.HIGHEST
+    )
+    if "b" in params:
+        out = out + params["b"]
+    if activation is not None:
+        out = activation(out)
+    return out
+
+
+def exp_mask(val: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Additive −1e30 masking (reference: code/pred_models.py:1399-1401)."""
+    return val + (1.0 - mask.astype(val.dtype)) * -1e30
+
+
+def l2_weight_decay(params, wd: float) -> jnp.ndarray:
+    """0.5 * wd * Σ‖w‖² over every leaf named ``w``.
+
+    Matches tf.nn.l2_loss (sum/2) applied to the ``.*/W`` regex selection
+    (reference: code/pred_models.py:1253-1275). ConvLSTM kernels are
+    named ``kernel`` and excluded, as in the reference.
+    """
+    total = jnp.asarray(0.0, dtype=jnp.float32)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        names = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        if names and names[-1] == "w":
+            total = total + 0.5 * jnp.sum(
+                jnp.square(leaf.astype(jnp.float32))
+            )
+    return total * wd

@@ -1,0 +1,188 @@
+"""Layer library unit tests: conv2d/linear vs numpy refs, ConvLSTM vs a
+literal transcription of tf.contrib.rnn.ConvLSTMCell gate math, GNN step
+vs a dense numpy reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiverse_tpu.ops import (
+    ConvLSTMState,
+    conv2d,
+    convlstm_init,
+    convlstm_scan,
+    convlstm_step,
+    gnn_neighbor_mask,
+    gnn_step,
+    init_conv,
+    init_linear,
+    linear,
+)
+from multiverse_tpu.ops.layers import exp_mask, l2_weight_decay
+
+
+def _np_conv2d_same(x, w, stride=1):
+    """Naive NHWC SAME conv."""
+    n, h, wd, cin = x.shape
+    kh, kw, _, cout = w.shape
+    ph, pw = kh // 2, kw // 2
+    xp = np.pad(x, [(0, 0), (ph, ph), (pw, pw), (0, 0)])
+    oh = int(np.ceil(h / stride))
+    ow = int(np.ceil(wd / stride))
+    out = np.zeros((n, oh, ow, cout), dtype=np.float32)
+    for i in range(oh):
+        for j in range(ow):
+            patch = xp[:, i * stride:i * stride + kh, j * stride:j * stride + kw, :]
+            out[:, i, j, :] = np.tensordot(patch, w, axes=([1, 2, 3], [0, 1, 2]))
+    return out
+
+
+def test_conv2d_matches_numpy(rng):
+    key = jax.random.PRNGKey(0)
+    p = init_conv(key, 4, 8, kernel=3)
+    x = rng.randn(2, 6, 10, 4).astype(np.float32)
+    got = np.asarray(conv2d(p, jnp.asarray(x)))
+    want = _np_conv2d_same(x, np.asarray(p["w"])) + np.asarray(p["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_stride2_shape():
+    key = jax.random.PRNGKey(1)
+    p = init_conv(key, 11, 64, kernel=3)
+    x = jnp.zeros((3, 36, 64, 11))
+    # stride-2 SAME over 36x64 -> 18x32; over odd 9x16... ceil division
+    assert conv2d(p, x, stride=2).shape == (3, 18, 32, 64)
+    p2 = init_conv(key, 64, 64, kernel=3)
+    assert conv2d(p2, conv2d(p, x, stride=2), stride=2).shape == (3, 9, 16, 64)
+
+
+def test_linear(rng):
+    key = jax.random.PRNGKey(2)
+    p = init_linear(key, 5, 7, add_bias=True)
+    x = rng.randn(3, 4, 5).astype(np.float32)
+    got = np.asarray(linear(p, jnp.asarray(x)))
+    want = x @ np.asarray(p["w"]) + np.asarray(p["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------- ConvLSTM
+
+
+def _ref_convlstm_step(kernel, bias, x, c, h, forget_bias=1.0):
+    """Literal numpy transcription of TF1.15 contrib ConvLSTMCell.call:
+    one conv over concat([x, h]), split into (i, g, f, o)."""
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    xin = np.concatenate([x, h], axis=-1)
+    gates = _np_conv2d_same(xin, kernel) + bias
+    i, g, f, o = np.split(gates, 4, axis=-1)
+    new_c = sigmoid(f + forget_bias) * c + sigmoid(i) * np.tanh(g)
+    new_h = np.tanh(new_c) * sigmoid(o)
+    return new_c, new_h
+
+
+def test_convlstm_step_matches_tf_gate_math(rng):
+    key = jax.random.PRNGKey(3)
+    in_ch, hid = 3, 5
+    p = convlstm_init(key, in_ch, hid, kernel=3)
+    x = rng.randn(2, 4, 6, in_ch).astype(np.float32)
+    c0 = rng.randn(2, 4, 6, hid).astype(np.float32)
+    h0 = rng.randn(2, 4, 6, hid).astype(np.float32)
+    out, st = convlstm_step(
+        p, jnp.asarray(x), ConvLSTMState(jnp.asarray(c0), jnp.asarray(h0))
+    )
+    want_c, want_h = _ref_convlstm_step(
+        np.asarray(p["kernel"]), np.asarray(p["bias"]), x, c0, h0
+    )
+    np.testing.assert_allclose(np.asarray(st.c), want_c, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st.h), want_h, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out), want_h, rtol=1e-4, atol=1e-4)
+
+
+def test_convlstm_scan_matches_unrolled(rng):
+    key = jax.random.PRNGKey(4)
+    p = convlstm_init(key, 2, 4, kernel=3)
+    xs = rng.randn(3, 6, 4, 5, 2).astype(np.float32)
+    outs, final = convlstm_scan(p, jnp.asarray(xs))
+    c = np.zeros((3, 4, 5, 4), np.float32)
+    h = np.zeros((3, 4, 5, 4), np.float32)
+    for t in range(6):
+        c, h = _ref_convlstm_step(
+            np.asarray(p["kernel"]), np.asarray(p["bias"]), xs[:, t], c, h
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[:, t]), h, rtol=1e-4, atol=1e-4
+        )
+    np.testing.assert_allclose(np.asarray(final.h), h, rtol=1e-4, atol=1e-4)
+
+
+def test_convlstm_seq_length_masking(rng):
+    key = jax.random.PRNGKey(5)
+    p = convlstm_init(key, 2, 4)
+    xs = rng.randn(2, 6, 4, 5, 2).astype(np.float32)
+    lengths = jnp.array([6, 3])
+    outs, final = convlstm_scan(p, jnp.asarray(xs), seq_lengths=lengths)
+    # sample 1: outputs zero past t=3, state frozen at t=3
+    assert float(jnp.abs(outs[1, 3:]).max()) == 0.0
+    outs_full, _ = convlstm_scan(p, jnp.asarray(xs[1:2, :3]))
+    np.testing.assert_allclose(
+        np.asarray(outs[1, :3]), np.asarray(outs_full[0]), rtol=1e-5, atol=1e-5
+    )
+
+
+# ---------------------------------------------------------------- GNN
+
+
+def test_gnn_neighbor_mask_golden():
+    m = gnn_neighbor_mask(3, 4)  # 12 cells
+    # cell (1,1)=idx5 neighbors: all 9 cells around it
+    want = np.zeros((3, 4))
+    want[0:3, 0:3] = 1
+    np.testing.assert_array_equal(m[5].reshape(3, 4), want)
+    # corner cell 0 has 4 neighbors
+    assert m[0].sum() == 4
+    # edge cell 1 has 6
+    assert m[1].sum() == 6
+    assert np.all(m == m.T)
+
+
+def test_gnn_step_matches_numpy(rng):
+    h, w, d = 3, 4, 6
+    hidden = rng.randn(2, h, w, d).astype(np.float32)
+    scene = rng.randn(2, h, w, 5).astype(np.float32)
+    mask = gnn_neighbor_mask(h, w)
+    got = np.asarray(gnn_step(jnp.asarray(hidden), jnp.asarray(mask),
+                              jnp.asarray(scene)))
+
+    # numpy reference (reference: code/pred_models.py:808-909 math)
+    node = np.concatenate(
+        [hidden.reshape(2, h * w, d), scene.reshape(2, h * w, 5)], -1
+    )
+    node = node / np.sqrt(
+        np.maximum((node ** 2).sum(-1, keepdims=True), 1e-12)
+    )
+    edges = node @ node.transpose(0, 2, 1)
+    edges = edges + (1 - mask)[None] * -1e30
+    e = np.exp(edges - edges.max(-1, keepdims=True))
+    attn = e / e.sum(-1, keepdims=True)
+    want = (attn @ hidden.reshape(2, h * w, d)).reshape(2, h, w, d)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_exp_mask():
+    v = jnp.array([1.0, 2.0])
+    m = jnp.array([1.0, 0.0])
+    out = np.asarray(exp_mask(v, m))
+    assert out[0] == 1.0 and out[1] < -1e29
+
+
+def test_l2_weight_decay_only_w():
+    params = {
+        "a": {"w": jnp.ones((2, 2)), "b": jnp.ones((2,))},
+        "cell": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones((3,))},
+    }
+    wd = float(l2_weight_decay(params, 0.1))
+    # only a/w counts: 0.5 * 0.1 * 4
+    assert abs(wd - 0.2) < 1e-6
