@@ -1,0 +1,220 @@
+"""Diverse beam search over grid cells, as a static-shape lax.scan.
+
+TPU-first rebuild of the reference's raw_rnn + TensorArray beam decoder
+(reference: code/pred_models.py:474-806 `grid_decoder_beam_search`,
+:1197-1223 `add_div_penalty`, :1225-1251 `gather_helper`):
+
+* beams are folded into the batch axis for every conv (the ConvLSTM and
+  GNN see [N*K, h, w, ·] — full MXU tiles), and unfolded to [N, K, ·]
+  only for the per-step top-k / gather;
+* the diversity rank penalty uses a double argsort instead of
+  tf.map_fn(tf.invert_permutation);
+* the parent-pointer backtrace is a reverse lax.scan instead of a
+  tf.while_loop over TensorArrays;
+* variable per-sample prediction lengths are handled by *freezing*
+  finished samples (identity parents, carried logprobs) so one static
+  T_max batch decodes trajectories of mixed length with per-sample
+  results identical to the reference's per-sample dynamic loop.
+
+Step-t semantics (t is 0-based; the reference's loop `time` is t+1):
+  1. GNN residual on the hidden state, then ConvLSTM step on the
+     embedded previous cell one-hot;
+  2. logits -> log_softmax, add to running beam logprobs;
+  3. optional rank-based diversity penalty log(gamma)·rank
+     (Li et al. 2016);
+  4. flat top-k over K·H·W candidates (t=0 restricted to beam 0 — all
+     beams are identical then, reference: :572-573);
+  5. carried logprobs zeroed while t+1 <= fix_num_timestep
+     (reference: :580-584).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multiverse_tpu.config import MultiverseConfig
+from multiverse_tpu.geometry import one_hot_grid
+from multiverse_tpu.ops import (
+    ConvLSTMState,
+    conv2d,
+    convlstm_step,
+    gnn_neighbor_mask,
+    gnn_step,
+)
+from multiverse_tpu.ops.layers import get_activation
+
+NEG_INF = -1e30
+
+
+class BeamOutputs(NamedTuple):
+    """Mirrors the reference beam decode outputs
+    (reference: code/pred_models.py:805-806 return tuple)."""
+
+    best_logits: jnp.ndarray        # [N, T, h, w, 1] best beam's logits
+    logits: jnp.ndarray             # [N, K, T, H*W]
+    ids: jnp.ndarray                # [N, K, T] int32 grid cell per step
+    logprobs: jnp.ndarray           # [N, K] total log-likelihood
+    states: Optional[jnp.ndarray]   # [N, K, T, h, w, D] (single-decoder)
+
+
+def add_diversity_penalty(logprobs: jnp.ndarray, gamma: float) -> jnp.ndarray:
+    """Rank-based diversity penalty (Li et al. 2016).
+
+    penalty[v] = log(gamma) * rank(v) where rank 0 is the best entry of
+    each [.., V] row (reference: code/pred_models.py:1197-1223; the
+    double-argsort replaces top_k + invert_permutation).
+    """
+    order = jnp.argsort(-logprobs, axis=-1)          # descending
+    ranks = jnp.argsort(order, axis=-1)              # rank of each entry
+    return logprobs + math.log(gamma) * ranks.astype(logprobs.dtype)
+
+
+def _fold(x: jnp.ndarray) -> jnp.ndarray:
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _gather_beams(x: jnp.ndarray, parents: jnp.ndarray) -> jnp.ndarray:
+    """x: [N, K, ...]; parents: [N, K] -> x[n, parents[n, k]]."""
+    idx = parents.reshape(parents.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def diverse_beam_search(
+    scale_params: dict,
+    cfg: MultiverseConfig,
+    first_input: jnp.ndarray,       # [N, h, w, 1] last observed one-hot
+    init_state: ConvLSTMState,      # [N, h, w, D] encoder last state
+    T_pred: int,
+    pred_length: Optional[jnp.ndarray] = None,  # [N] int32, <= T_pred
+    scene_mean: Optional[jnp.ndarray] = None,   # [N, h, w, Cc]
+    save_states: bool = False,
+    compute_dtype=None,
+) -> BeamOutputs:
+    cfg.validate()
+    K = cfg.beam_size
+    N, h, w, _ = first_input.shape
+    HW = h * w
+    D = init_state.h.shape[-1]
+    act = get_activation(cfg.activation)
+    use_gnn = cfg.use_gnn
+    mask = jnp.asarray(gnn_neighbor_mask(h, w)) if use_gnn else None
+
+    emb_p = scale_params["dec_class_emb"]
+    cell_p = scale_params["dec_class"]
+    h2g_p = scale_params["h2g_class"]
+
+    # tile inputs & state across beams (reference: :494-514)
+    def tile(x):
+        return jnp.broadcast_to(
+            x[:, None], (N, K) + x.shape[1:]
+        )
+
+    x0 = tile(first_input)
+    state0 = ConvLSTMState(c=tile(init_state.c), h=tile(init_state.h))
+    scene_nk = None
+    if scene_mean is not None and use_gnn:
+        scene_nk = _fold(tile(scene_mean))
+    logprob0 = jnp.zeros((N, K), jnp.float32)
+    beam_iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (N, K))
+
+    def step(carry, t):
+        state, x, logprob = carry
+        # --- GNN residual on hidden, then embed + cell (beams folded)
+        hh = _fold(state.h)
+        if use_gnn:
+            hh = hh + gnn_step(hh, mask, scene_nk, compute_dtype=compute_dtype)
+        emb = conv2d(emb_p, _fold(x), activation=act,
+                     compute_dtype=compute_dtype)
+        out, new_state_f = convlstm_step(
+            cell_p, emb, ConvLSTMState(c=_fold(state.c), h=hh),
+            compute_dtype=compute_dtype,
+        )
+        logits_t = conv2d(h2g_p, out, compute_dtype=compute_dtype)
+        logits_t = logits_t.reshape(N, K, HW)
+
+        # --- accumulate scores
+        cand = logprob[:, :, None] + jax.nn.log_softmax(logits_t, axis=-1)
+        if cfg.diverse_beam:
+            cand = add_diversity_penalty(cand, cfg.diverse_gamma)
+        # t == 0: all beams identical -> restrict to beam 0
+        beam0_only = jnp.where(
+            (jnp.arange(K) == 0)[None, :, None], cand, NEG_INF
+        )
+        cand = jnp.where(t == 0, beam0_only, cand)
+
+        new_logprob, flat_idx = jax.lax.top_k(cand.reshape(N, K * HW), K)
+        new_logprob = jnp.where(t + 1 <= cfg.fix_num_timestep,
+                                jnp.zeros_like(new_logprob), new_logprob)
+        ids = (flat_idx % HW).astype(jnp.int32)
+        parents = (flat_idx // HW).astype(jnp.int32)
+
+        # --- freeze finished samples (variable pred_length batching)
+        if pred_length is not None:
+            fin = (t >= pred_length)[:, None]
+            new_logprob = jnp.where(fin, logprob, new_logprob)
+            parents = jnp.where(fin, beam_iota, parents)
+            ids = jnp.where(fin, 0, ids)
+
+        # --- reorder beam states by parent, build next input
+        new_state = ConvLSTMState(
+            c=new_state_f.c.reshape((N, K) + new_state_f.c.shape[1:]),
+            h=new_state_f.h.reshape((N, K) + new_state_f.h.shape[1:]),
+        )
+        new_state = ConvLSTMState(
+            c=_gather_beams(new_state.c, parents),
+            h=_gather_beams(new_state.h, parents),
+        )
+        if pred_length is not None:
+            keep = fin.reshape(N, 1, 1, 1, 1)
+            new_state = ConvLSTMState(
+                c=jnp.where(keep, state.c, new_state.c),
+                h=jnp.where(keep, state.h, new_state.h),
+            )
+        next_x = one_hot_grid(ids, h, w)
+
+        emit = (ids, parents, logits_t)
+        if save_states:
+            emit = emit + (out.reshape(N, K, h, w, D),)
+        return (new_state, next_x, new_logprob), emit
+
+    (_, _, final_logprobs), emits = jax.lax.scan(
+        step, (state0, x0, logprob0), jnp.arange(T_pred)
+    )
+    all_ids, all_parents, all_logits = emits[:3]  # [T, N, K(, HW)]
+    all_states = emits[3] if save_states else None
+
+    # ---- backtrace (reverse scan; reference: :689-771)
+    def back(parents_carry, t_emit):
+        ids_t, parents_t, logits_t = t_emit[:3]
+        sel_ids = jnp.take_along_axis(ids_t, parents_carry, axis=1)
+        sel_logits = _gather_beams(logits_t, parents_carry)
+        outs = (sel_ids, sel_logits)
+        if save_states:
+            outs = outs + (_gather_beams(t_emit[3], parents_carry),)
+        new_parents = jnp.take_along_axis(parents_t, parents_carry, axis=1)
+        return new_parents, outs
+
+    init_parents = beam_iota
+    _, traced = jax.lax.scan(
+        back, init_parents,
+        emits if save_states else (all_ids, all_parents, all_logits),
+        reverse=True,
+    )
+    final_ids = jnp.moveaxis(traced[0], 0, 2)       # [N, K, T]
+    final_logits = jnp.moveaxis(traced[1], 0, 2)    # [N, K, T, HW]
+    final_states = (
+        jnp.moveaxis(traced[2], 0, 2) if save_states else None
+    )
+
+    best = final_logits[:, 0].reshape(N, T_pred, h, w, 1)
+    return BeamOutputs(
+        best_logits=best,
+        logits=final_logits,
+        ids=final_ids,
+        logprobs=final_logprobs,
+        states=final_states,
+    )

@@ -1,0 +1,87 @@
+"""Synthetic data helpers shared by tests and the verify drive."""
+
+import numpy as np
+
+from multiverse_tpu.config import MultiverseConfig
+from multiverse_tpu import geometry
+from multiverse_tpu.models import Batch
+
+
+def tiny_config(**kw) -> MultiverseConfig:
+    base = dict(
+        obs_len=4,
+        pred_len=5,
+        scene_h=12,
+        scene_w=16,
+        scene_class=5,
+        emb_size=8,
+        enc_hidden_size=16,
+        dec_hidden_size=16,
+        scene_conv_dim=8,
+        scene_grid_strides=(2, 4),
+        use_grids=(True, False),
+        batch_size=4,
+    )
+    base.update(kw)
+    return MultiverseConfig(**base).validate()
+
+
+def random_walk(rng, T, video_h, video_w):
+    xy = np.zeros((T, 2), np.float32)
+    xy[0] = rng.uniform([video_w * 0.3, video_h * 0.3],
+                        [video_w * 0.7, video_h * 0.7])
+    steps = rng.randn(T - 1, 2) * np.array([video_w, video_h]) * 0.02
+    xy[1:] = xy[0] + np.cumsum(steps, axis=0)
+    xy[:, 0] = np.clip(xy[:, 0], 1.0, video_w - 1.0)
+    xy[:, 1] = np.clip(xy[:, 1], 1.0, video_h - 1.0)
+    return xy.astype(np.float32)
+
+
+def make_batch(rng, cfg: MultiverseConfig, n: int, num_scene_feat: int = 3):
+    """Build a random but self-consistent Batch (+ the raw trajectories)."""
+    S = cfg.num_scales
+    T = cfg.seq_len
+    obs_cls = np.zeros((n, S, cfg.obs_len), np.int32)
+    pred_cls = np.zeros((n, S, cfg.pred_len), np.int32)
+    obs_tgt = [
+        np.zeros((n, cfg.obs_len, h, w, 2), np.float32)
+        for (h, w) in [cfg.scene_grids[i] for i in cfg.active_scales]
+    ]
+    pred_tgt = [
+        np.zeros((n, cfg.pred_len, h, w, 2), np.float32)
+        for (h, w) in [cfg.scene_grids[i] for i in cfg.active_scales]
+    ]
+    trajs = np.zeros((n, T, 2), np.float32)
+    for i in range(n):
+        xy = random_walk(rng, T, cfg.video_h, cfg.video_w)
+        trajs[i] = xy
+        cls, tgts = geometry.rasterize_traj_np(
+            xy, cfg.video_h, cfg.video_w, cfg.scene_grids
+        )
+        obs_cls[i] = cls[:, : cfg.obs_len]
+        pred_cls[i] = cls[:, cfg.obs_len:]
+        for idx, si in enumerate(cfg.active_scales):
+            obs_tgt[idx][i] = tgts[si][: cfg.obs_len]
+            pred_tgt[idx][i] = tgts[si][cfg.obs_len:]
+
+    scene_feat = np.zeros(
+        (num_scene_feat, cfg.scene_h, cfg.scene_w, cfg.scene_class),
+        np.float32,
+    )
+    cls_map = rng.randint(0, cfg.scene_class,
+                          (num_scene_feat, cfg.scene_h, cfg.scene_w))
+    for f in range(num_scene_feat):
+        for c in range(cfg.scene_class):
+            scene_feat[f, :, :, c] = cls_map[f] == c
+    obs_scene = rng.randint(0, num_scene_feat,
+                            (n, cfg.obs_len)).astype(np.int32)
+
+    batch = Batch(
+        obs_grid_class=obs_cls,
+        obs_grid_target_all=tuple(obs_tgt),
+        obs_scene=obs_scene,
+        scene_feat=scene_feat,
+        pred_grid_class=pred_cls,
+        pred_grid_target_all=tuple(pred_tgt),
+    )
+    return batch, trajs

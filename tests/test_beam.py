@@ -1,0 +1,232 @@
+"""Diverse beam search tests.
+
+The risky logic (top-k over K·HW, diversity penalty, parent gathering,
+backtrace, variable-length freezing) is validated against a literal
+numpy mirror of the reference algorithm
+(reference: code/pred_models.py:474-806) that reuses the already-tested
+jax cell/conv/gnn ops for the neural pieces.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiverse_tpu.geometry import one_hot_grid
+from multiverse_tpu.models import diverse_beam_search, init_params, model_forward
+from multiverse_tpu.models.beam_search import add_diversity_penalty
+from multiverse_tpu.ops import ConvLSTMState, conv2d, convlstm_step, gnn_neighbor_mask, gnn_step
+from multiverse_tpu.ops.layers import get_activation
+from synthetic import make_batch, tiny_config
+
+
+def _encoder_state(cfg, params, batch):
+    """Run the real encoder to get a realistic decoder init state."""
+    out = model_forward(params, jax.tree_util.tree_map(jnp.asarray, batch), cfg)
+    return out
+
+
+def _numpy_beam_reference(sp, cfg, first_input, init_state, T, scene_mean):
+    """Per-sample (N=1 at a time) beam search transcribing the reference
+    loop semantics in plain numpy, calling jax ops eagerly per step."""
+    K = cfg.beam_size
+    N, h, w, _ = first_input.shape
+    HW = h * w
+    act = get_activation(cfg.activation)
+    mask = jnp.asarray(gnn_neighbor_mask(h, w))
+
+    all_ids = np.zeros((T, N, K), np.int32)
+    all_parents = np.zeros((T, N, K), np.int32)
+    all_logits = np.zeros((T, N, K, HW), np.float32)
+
+    # tile to beams
+    c = np.repeat(np.asarray(init_state.c), K, axis=0)  # [N*K, h, w, D]
+    hh = np.repeat(np.asarray(init_state.h), K, axis=0)
+    x = np.repeat(np.asarray(first_input), K, axis=0)
+    logprob = np.zeros((N, K), np.float32)
+    scene_nk = None
+    if scene_mean is not None:
+        scene_nk = jnp.asarray(np.repeat(np.asarray(scene_mean), K, axis=0))
+
+    for t in range(T):
+        # GNN + embed + cell, identical op calls as the jitted version
+        hj = jnp.asarray(hh)
+        if cfg.use_gnn:
+            hj = hj + gnn_step(hj, mask, scene_nk)
+        emb = conv2d(sp["dec_class_emb"], jnp.asarray(x), activation=act)
+        out, st = convlstm_step(sp["dec_class"], emb,
+                                ConvLSTMState(jnp.asarray(c), hj))
+        logits = np.asarray(conv2d(sp["h2g_class"], out)).reshape(N, K, HW)
+
+        logp = logits - logits.max(-1, keepdims=True)
+        logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+        cand = logprob[:, :, None] + logp
+        if cfg.diverse_beam:
+            cand = np.asarray(
+                add_diversity_penalty(jnp.asarray(cand), cfg.diverse_gamma)
+            )
+        if t == 0:
+            flat = cand[:, 0]  # reference: time==1 uses beam 0 only
+            idx = np.argsort(-flat, axis=1, kind="stable")[:, :K]
+            new_lp = np.take_along_axis(flat, idx, 1)
+            ids, parents = idx, np.zeros_like(idx)
+        else:
+            flat = cand.reshape(N, K * HW)
+            idx = np.argsort(-flat, axis=1, kind="stable")[:, :K]
+            new_lp = np.take_along_axis(flat, idx, 1)
+            ids, parents = idx % HW, idx // HW
+        if t + 1 <= cfg.fix_num_timestep:
+            new_lp = np.zeros_like(new_lp)
+
+        all_ids[t], all_parents[t] = ids, parents
+        all_logits[t] = logits
+        logprob = new_lp
+
+        # gather states by parents, next input = one-hot(ids)
+        c5 = np.asarray(st.c).reshape(N, K, h, w, -1)
+        h5 = np.asarray(st.h).reshape(N, K, h, w, -1)
+        c = np.stack([c5[n, parents[n]] for n in range(N)]).reshape(
+            N * K, h, w, -1)
+        hh = np.stack([h5[n, parents[n]] for n in range(N)]).reshape(
+            N * K, h, w, -1)
+        x = np.asarray(
+            one_hot_grid(jnp.asarray(ids.reshape(-1)), h, w)
+        )
+
+    # backtrace (reference: :722-764)
+    parents = np.tile(np.arange(K), (N, 1))
+    ids_out = np.zeros((T, N, K), np.int32)
+    logits_out = np.zeros((T, N, K, HW), np.float32)
+    for t in reversed(range(T)):
+        for n in range(N):
+            ids_out[t, n] = all_ids[t, n, parents[n]]
+            logits_out[t, n] = all_logits[t, n, parents[n]]
+            parents[n] = all_parents[t, n, parents[n]]
+    return (
+        np.moveaxis(ids_out, 0, 2),      # [N, K, T]
+        np.moveaxis(logits_out, 0, 2),   # [N, K, T, HW]
+        logprob,
+    )
+
+
+def _setup(rng, **cfg_kw):
+    kw = dict(use_beam_search=True, beam_size=4)
+    kw.update(cfg_kw)
+    cfg = tiny_config(**kw)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    batch, _ = make_batch(rng, cfg, 2)
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    # build encoder state through the real forward pieces
+    from multiverse_tpu.models.multiverse import scene_encode
+    from multiverse_tpu.ops import convlstm_scan
+
+    h, w = cfg.scene_grids[0]
+    sp = params["scales"]["0"]
+    obs_onehot = one_hot_grid(jb.obs_grid_class[:, 0], h, w)
+    scene_convs = scene_encode(params, jb.scene_feat, jb.obs_scene, cfg)
+    enc_in = scene_convs[0] * obs_onehot
+    _, enc_last = convlstm_scan(sp["enc_class"], enc_in)
+    scene_mean = jnp.mean(scene_convs[0], axis=1)
+    return cfg, sp, obs_onehot[:, -1], enc_last, scene_mean
+
+
+def test_beam_matches_numpy_reference(rng):
+    cfg, sp, first, state, scene_mean = _setup(rng)
+    T = 5
+    out = diverse_beam_search(sp, cfg, first, state, T, scene_mean=scene_mean)
+    want_ids, want_logits, want_lp = _numpy_beam_reference(
+        sp, cfg, first, state, T, scene_mean
+    )
+    np.testing.assert_array_equal(np.asarray(out.ids), want_ids)
+    np.testing.assert_allclose(np.asarray(out.logits), want_logits,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.logprobs), want_lp,
+                               rtol=1e-4, atol=1e-4)
+    # best beam logits = beam 0
+    np.testing.assert_allclose(
+        np.asarray(out.best_logits).reshape(2, T, -1),
+        want_logits[:, 0], rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_beam_diverse_and_fix_timestep(rng):
+    cfg, sp, first, state, scene_mean = _setup(
+        rng, diverse_beam=True, diverse_gamma=0.01, fix_num_timestep=1
+    )
+    T = 4
+    out = diverse_beam_search(sp, cfg, first, state, T, scene_mean=scene_mean)
+    want_ids, want_logits, want_lp = _numpy_beam_reference(
+        sp, cfg, first, state, T, scene_mean
+    )
+    np.testing.assert_array_equal(np.asarray(out.ids), want_ids)
+    np.testing.assert_allclose(np.asarray(out.logprobs), want_lp,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_beam_k1_equals_greedy_argmax(rng):
+    cfg, sp, first, state, scene_mean = _setup(rng, beam_size=1)
+    from multiverse_tpu.models.multiverse import greedy_decode
+
+    T = 6
+    out = diverse_beam_search(sp, cfg, first, state, T, scene_mean=scene_mean)
+    logits, _ = greedy_decode(
+        sp, cfg, first, state, T,
+        emb_name="dec_class_emb", cell_name="dec_class",
+        h2g_name="h2g_class", use_gnn=cfg.use_gnn, scene_mean=scene_mean,
+        feedback="onehot",
+    )
+    greedy_ids = np.asarray(jnp.argmax(
+        logits.reshape(logits.shape[0], T, -1), -1))
+    np.testing.assert_array_equal(np.asarray(out.ids[:, 0]), greedy_ids)
+    np.testing.assert_allclose(
+        np.asarray(out.best_logits), np.asarray(logits),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_beam_variable_length_freeze(rng):
+    """Batched variable-length decode == per-sample exact-length decode."""
+    cfg, sp, first, state, scene_mean = _setup(rng)
+    T = 6
+    lengths = jnp.array([6, 4])
+    out = diverse_beam_search(
+        sp, cfg, first, state, T, pred_length=lengths, scene_mean=scene_mean
+    )
+    # sample 1 alone with T=4
+    s1 = ConvLSTMState(c=state.c[1:2], h=state.h[1:2])
+    out1 = diverse_beam_search(
+        sp, cfg, first[1:2], s1, 4, scene_mean=scene_mean[1:2]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.ids[1, :, :4]), np.asarray(out1.ids[0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logprobs[1]), np.asarray(out1.logprobs[0]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits[1, :, :4]), np.asarray(out1.logits[0]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_beam_save_states(rng):
+    cfg, sp, first, state, scene_mean = _setup(rng)
+    out = diverse_beam_search(
+        sp, cfg, first, state, 3, scene_mean=scene_mean, save_states=True
+    )
+    h, w = cfg.scene_grids[0]
+    assert out.states.shape == (2, cfg.beam_size, 3, h, w,
+                                cfg.dec_hidden_size)
+
+
+def test_add_diversity_penalty_ranks():
+    lp = jnp.asarray([[[0.0, -1.0, -0.5, -2.0]]])
+    out = np.asarray(add_diversity_penalty(lp, 0.5))
+    import math
+
+    lg = math.log(0.5)
+    # ranks: 0.0->0, -0.5->1, -1.0->2, -2.0->3
+    np.testing.assert_allclose(
+        out[0, 0], [0.0, -1.0 + 2 * lg, -0.5 + lg, -2.0 + 3 * lg], rtol=1e-6
+    )

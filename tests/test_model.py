@@ -1,0 +1,176 @@
+"""Model forward + loss tests on tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiverse_tpu.models import (
+    compute_loss,
+    init_params,
+    model_forward,
+    soft_grid_labels,
+    SOFT_GRID_KERNELS,
+)
+from synthetic import make_batch, tiny_config
+
+
+def _to_jax(batch):
+    return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
+def test_forward_shapes(rng):
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch, _ = make_batch(rng, cfg, 4)
+    out = model_forward(params, _to_jax(batch), cfg)
+    h, w = cfg.scene_grids[0]
+    assert out.class_logits[0].shape == (4, cfg.pred_len, h, w, 1)
+    assert out.reg_out[0].shape == (4, cfg.pred_len, h, w, 2)
+    assert out.dec_states[0].shape == (4, cfg.pred_len, h, w, 16)
+    assert len(out.scene_convs) == 2
+    assert out.scene_convs[0].shape == (4, cfg.obs_len, h, w, 8)
+
+
+def test_forward_two_scales(rng):
+    cfg = tiny_config(use_grids=(True, True))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch, _ = make_batch(rng, cfg, 2)
+    out = model_forward(params, _to_jax(batch), cfg)
+    assert set(out.class_logits) == {0, 1}
+    h2, w2 = cfg.scene_grids[1]
+    assert out.class_logits[1].shape == (2, cfg.pred_len, h2, w2, 1)
+
+
+def test_forward_no_scene_enc_no_gnn(rng):
+    cfg = tiny_config(use_scene_enc=False, use_gnn=False)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "scene_conv1" not in params
+    assert "enc_grid_emb" in params["scales"]["0"]
+    batch, _ = make_batch(rng, cfg, 2)
+    out = model_forward(params, _to_jax(batch), cfg)
+    assert out.class_logits[0].shape[1] == cfg.pred_len
+
+
+def test_forward_single_decoder(rng):
+    cfg = tiny_config(use_single_decoder=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "dec_reg" not in params["scales"]["0"]
+    batch, _ = make_batch(rng, cfg, 2)
+    out = model_forward(params, _to_jax(batch), cfg)
+    assert out.reg_out[0].shape[-1] == 2
+
+
+def test_forward_deterministic_and_jittable(rng):
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch, _ = make_batch(rng, cfg, 2)
+    jb = _to_jax(batch)
+    f = jax.jit(lambda p, b: model_forward(p, b, cfg))
+    o1 = f(params, jb)
+    o2 = f(params, jb)
+    np.testing.assert_array_equal(
+        np.asarray(o1.class_logits[0]), np.asarray(o2.class_logits[0])
+    )
+    o3 = model_forward(params, jb, cfg)
+    np.testing.assert_allclose(
+        np.asarray(o1.class_logits[0]),
+        np.asarray(o3.class_logits[0]),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_argmax_feedback_loop(rng):
+    """The class decoder must feed back the one-hot of its own argmax."""
+    from multiverse_tpu.models.multiverse import _grid_argmax_onehot
+
+    logits = jnp.asarray(rng.randn(3, 6, 8, 1).astype(np.float32))
+    oh = _grid_argmax_onehot(logits)
+    flat = np.asarray(logits).reshape(3, -1)
+    for i in range(3):
+        want = np.zeros(48)
+        want[flat[i].argmax()] = 1
+        np.testing.assert_array_equal(np.asarray(oh[i]).reshape(-1), want)
+
+
+def test_soft_grid_labels_matches_scipy(rng):
+    from scipy import ndimage
+
+    h, w = 6, 9
+    labels = jnp.asarray(rng.randint(0, h * w, (2, 3)))
+    for sg in sorted(SOFT_GRID_KERNELS):
+        got = np.asarray(soft_grid_labels(labels, h, w, sg))
+        k = np.asarray(SOFT_GRID_KERNELS[sg], dtype="float64")
+        for i in range(2):
+            for t in range(3):
+                onehot = np.zeros((h * w))
+                onehot[int(labels[i, t])] = 1.0
+                want = ndimage.convolve(
+                    onehot.reshape(h, w), k, mode="constant", cval=0.0
+                )
+                np.testing.assert_allclose(
+                    got[i, t, :, :, 0], want, rtol=1e-5, atol=1e-6
+                )
+
+
+def test_loss_values(rng):
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch, _ = make_batch(rng, cfg, 4)
+    jb = _to_jax(batch)
+    out = model_forward(params, jb, cfg, is_train=True)
+    total, parts = compute_loss(params, jb, out, cfg)
+    assert np.isfinite(float(total))
+    # manual CE check
+    h, w = cfg.scene_grids[0]
+    logits = np.asarray(out.class_logits[0]).reshape(-1, h * w)
+    labels = np.asarray(batch.pred_grid_class)[:, 0].reshape(-1)
+    lse = np.log(np.exp(logits - logits.max(1, keepdims=True)).sum(1))
+    ce = (lse - (logits - logits.max(1, keepdims=True))[
+        np.arange(len(labels)), labels]).mean()
+    np.testing.assert_allclose(float(parts["grid0_class"]),
+                               ce * cfg.grid_loss_weight, rtol=1e-4)
+    # huber: |err|<=1 -> 0.5 err^2
+    reg = np.asarray(out.reg_out[0])
+    tgt = np.asarray(batch.pred_grid_target_all[0])
+    err = reg - tgt
+    hub = np.where(np.abs(err) <= 1, 0.5 * err ** 2, np.abs(err) - 0.5)
+    np.testing.assert_allclose(
+        float(parts["grid0_reg"]), hub.mean() * cfg.grid_reg_loss_weight,
+        rtol=1e-4,
+    )
+    assert float(parts["wd"]) > 0
+    np.testing.assert_allclose(
+        float(total),
+        float(parts["grid0_class"] + parts["grid0_reg"] + parts["wd"]),
+        rtol=1e-5,
+    )
+
+
+def test_loss_soft_grid_and_mask(rng):
+    cfg = tiny_config(use_soft_grid_class=True, soft_grid=4,
+                      mask_grid_regression=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch, _ = make_batch(rng, cfg, 2)
+    jb = _to_jax(batch)
+    out = model_forward(params, jb, cfg, is_train=True)
+    total, parts = compute_loss(params, jb, out, cfg)
+    assert np.isfinite(float(total))
+    assert float(parts["grid0_reg"]) >= 0
+
+
+def test_loss_gradients_flow(rng):
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch, _ = make_batch(rng, cfg, 2)
+    jb = _to_jax(batch)
+
+    def loss_fn(p):
+        out = model_forward(p, jb, cfg, is_train=True)
+        return compute_loss(p, jb, out, cfg)[0]
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # every parameter gets some gradient (encoder regs etc.)
+    nonzero = [float(np.abs(np.asarray(g)).max()) > 0 for g in flat]
+    assert sum(nonzero) >= len(flat) - 2  # scene convs may be tiny but not 0
