@@ -132,6 +132,9 @@ def scene_encode(
     act = get_activation(cfg.activation)
     N, T = obs_scene.shape
     x = scene_feat[obs_scene.reshape(-1)]  # [N*T, SH, SW, C]
+    # scene masks ship as uint8 (11x less host->device traffic than the
+    # reference's float32 feed); cast on device
+    x = x.astype(compute_dtype or jnp.float32)
     outs = []
     feats = x
     for i in range(cfg.num_scales):

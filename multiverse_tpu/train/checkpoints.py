@@ -1,0 +1,99 @@
+"""Checkpointing with the reference's {save, best} twin layout.
+
+reference: code/pred_utils.py:98-107 (layout outbase/model/runId/{save,
+best}), code/train.py:170-171 (twin savers, max_to_keep=5),
+code/pred_utils.py:149-205 (restore excluding optimizer slots).
+
+Uses orbax's PyTree checkpointing; restore can load params-only (the
+reference's optimizer-slot exclusion) or the full train state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, outpath: str, max_to_keep: int = 5):
+        self.save_dir = os.path.join(outpath, "save")
+        self.best_dir = os.path.join(outpath, "best")
+        opts = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True)
+        self._save = ocp.CheckpointManager(
+            os.path.abspath(self.save_dir), options=opts)
+        self._best = ocp.CheckpointManager(
+            os.path.abspath(self.best_dir), options=opts)
+
+    # ------------------------------------------------------------- save
+    def save(self, step: int, params: dict, opt_state=None,
+             best: bool = False) -> None:
+        mgr = self._best if best else self._save
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        mgr.save(step, args=ocp.args.StandardSave(payload))
+        mgr.wait_until_finished()
+
+    # ---------------------------------------------------------- restore
+    def _latest(self, best: bool) -> Optional[int]:
+        mgr = self._best if best else self._save
+        return mgr.latest_step()
+
+    def restore_params(self, template: dict, best: bool = False,
+                       path: Optional[str] = None) -> dict:
+        """Load params only (optimizer slots excluded, like the
+        reference's var filtering)."""
+        if path is not None:
+            mgr = ocp.CheckpointManager(os.path.abspath(path))
+            step = mgr.latest_step()
+        else:
+            mgr = self._best if best else self._save
+            step = self._latest(best)
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        restored = mgr.restore(
+            step,
+            args=ocp.args.StandardRestore({"params": template}),
+        )
+        return restored["params"]
+
+    def restore_train_state(self, params_template: dict,
+                            opt_state_template, best: bool = False):
+        mgr = self._best if best else self._save
+        step = self._latest(best)
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        restored = mgr.restore(
+            step,
+            args=ocp.args.StandardRestore(
+                {"params": params_template,
+                 "opt_state": opt_state_template}),
+        )
+        return step, restored["params"], restored["opt_state"]
+
+    def latest_step(self, best: bool = False) -> Optional[int]:
+        return self._latest(best)
+
+
+def restore_params_from(path: str, template: dict) -> dict:
+    """Standalone restore for inference (reference:
+    code/multifuture_inference.py:275-299 scope-filtered load)."""
+    mgr = ocp.CheckpointManager(os.path.abspath(path))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError("no checkpoint in %s" % path)
+    restored = mgr.restore(
+        step, args=ocp.args.StandardRestore({"params": template}))
+    return restored["params"]
+
+
+def process_out_dirs(outbasepath: str, modelname: str, run_id: int) -> str:
+    """outbase/model/runId layout (reference: pred_utils.py:98-107)."""
+    outpath = os.path.join(outbasepath, modelname, str(run_id).zfill(2))
+    os.makedirs(outpath, exist_ok=True)
+    return outpath

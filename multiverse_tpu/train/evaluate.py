@@ -1,0 +1,150 @@
+"""Evaluation: grid accuracy, ADE/FDE from center+offset reconstruction.
+
+reference: code/pred_utils.py:354-586 `evaluate` — the metric math is
+reproduced exactly but vectorized per batch (the reference loops per
+example per timestep in Python).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from multiverse_tpu.config import MultiverseConfig
+from multiverse_tpu.data.dataset import TrajectoryDataset
+
+ACTEV_SCENES = ("0000", "0002", "0400", "0401", "0500")
+
+
+def get_scene(videoname: str) -> str:
+    """Scene/camera token from an ActEV videoname
+    (reference: code/pred_utils.py:303-307)."""
+    s = videoname.split("_S_")[-1]
+    return s.split("_")[0][:4]
+
+
+def evaluate(
+    dataset: TrajectoryDataset,
+    cfg: MultiverseConfig,
+    step_fn: Callable,
+    batch_size: Optional[int] = None,
+    per_scene_eval: bool = False,
+    use_gt_grid: bool = False,
+    save_output: Optional[str] = None,
+    beam_step_fn: Optional[Callable] = None,
+) -> Dict[str, float]:
+    """Run the full split and compute the reference metric table.
+
+    step_fn(batch: Batch) -> (class_logits dict, reg dict) as numpy-able
+    arrays [N, T, h, w, 1] / [N, T, h, w, 2].
+    beam_step_fn: optional, returns BeamOutputs for the active scale.
+    """
+    batch_size = batch_size or cfg.batch_size
+    pred_len = cfg.pred_len
+    S = cfg.num_scales
+
+    correct = {i: [] for i in range(S)}
+    correct_at_t = {i: [[] for _ in range(pred_len)] for i in range(S)}
+    l2 = {i: [] for i in range(S)}          # [n][pred_len] displacement
+    l2_center = {i: [] for i in range(S)}
+    l2_scenes = {s: [] for s in ACTEV_SCENES}
+
+    out_data = None
+    if save_output is not None:
+        out_data = {"obs_list": [], "pred_gt_list": [], "seq_ids": []}
+        for i in range(S):
+            out_data["grid%s_class" % i] = []
+            out_data["grid%s_gt_class" % i] = []
+            out_data["grid%s_pred_traj" % i] = []
+            out_data["grid_center_%d" % i] = dataset.grid_centers[i]
+        if beam_step_fn is not None:
+            out_data["beam_grid_ids"] = []
+            out_data["beam_logprobs"] = []
+
+    for batch, extras in dataset.get_batches(
+            batch_size, full=True, shuffle=False):
+        class_logits, reg_out = step_fn(batch)
+        n = extras["original_batch_size"]
+        beam = None
+        if beam_step_fn is not None:
+            beam = beam_step_fn(batch)
+
+        for i in cfg.active_scales:
+            h, w = cfg.scene_grids[i]
+            logits = np.asarray(class_logits[i])[:n].reshape(
+                n, pred_len, h * w)
+            sel = logits.argmax(axis=2)  # [n, T]
+            gt_cells = extras["pred_grid_class"][:n, i]  # [n, T]
+            if use_gt_grid:
+                sel = gt_cells
+
+            ok = sel == gt_cells
+            correct[i].extend(ok.reshape(-1).tolist())
+            for t in range(pred_len):
+                correct_at_t[i][t].extend(ok[:, t].tolist())
+
+            centers = dataset.grid_centers[i].reshape(-1, 2)
+            reg = np.asarray(reg_out[i])[:n].reshape(n, pred_len, h * w, 2)
+            off = np.take_along_axis(
+                reg, sel[..., None, None], axis=2)[:, :, 0]
+            pred_pts = centers[sel] + off              # [n, T, 2]
+            center_pts = centers[sel]
+
+            gt_traj = extras["pred_traj"][:n]          # [n, T, 2]
+            d = np.sqrt(((gt_traj - pred_pts) ** 2).sum(-1))  # [n, T]
+            dc = np.sqrt(((gt_traj - center_pts) ** 2).sum(-1))
+            l2[i].extend(d.tolist())
+            l2_center[i].extend(dc.tolist())
+
+            if per_scene_eval:
+                for a in range(n):
+                    scene = get_scene(extras["traj_key"][a])
+                    if scene in l2_scenes:
+                        l2_scenes[scene].append(d[a])
+
+            if out_data is not None:
+                for a in range(n):
+                    if i == min(cfg.active_scales):
+                        out_data["seq_ids"].append(extras["traj_key"][a])
+                        out_data["obs_list"].append(extras["obs_traj"][a])
+                        out_data["pred_gt_list"].append(gt_traj[a])
+                    out_data["grid%s_pred_traj" % i].append(pred_pts[a])
+                    out_data["grid%s_gt_class" % i].append(gt_cells[a])
+                    out_data["grid%s_class" % i].append(logits[a])
+                    if beam is not None:
+                        out_data["beam_grid_ids"].append(
+                            np.asarray(beam.ids)[a])
+                        out_data["beam_logprobs"].append(
+                            np.asarray(beam.logprobs)[a])
+
+    perf: Dict[str, float] = {}
+    for i in cfg.active_scales:
+        perf["grid%d_acc" % i] = float(np.mean(correct[i]))
+        for t in range(pred_len):
+            perf["grid%d_acc_@T=%d" % (i, t)] = float(
+                np.mean(correct_at_t[i][t]))
+        d = np.asarray(l2[i])
+        dc = np.asarray(l2_center[i])
+        perf["grid%d_traj_ade" % i] = float(d.mean())
+        perf["grid%d_traj_fde" % i] = float(d[:, -1].mean())
+        perf["grid%d_traj_centerOnly_ade" % i] = float(dc.mean())
+        perf["grid%d_traj_centerOnly_fde" % i] = float(dc[:, -1].mean())
+
+    if per_scene_eval:
+        for scene in ACTEV_SCENES:
+            diffs = l2_scenes[scene]
+            if diffs:
+                arr = np.asarray(diffs)
+                perf["%s_ade" % scene] = float(arr.mean())
+                perf["%s_fde" % scene] = float(arr[:, -1].mean())
+            else:
+                perf["%s_ade" % scene] = 0.0
+                perf["%s_fde" % scene] = 0.0
+
+    if out_data is not None:
+        with open(save_output, "wb") as f:
+            pickle.dump(out_data, f)
+        print("saved output at %s" % save_output)
+    return perf

@@ -1,5 +1,8 @@
 """Synthetic data helpers shared by tests and the verify drive."""
 
+import json
+import os
+
 import numpy as np
 
 from multiverse_tpu.config import MultiverseConfig
@@ -85,3 +88,56 @@ def make_batch(rng, cfg: MultiverseConfig, n: int, num_scene_feat: int = 3):
         pred_grid_target_all=tuple(pred_tgt),
     )
     return batch, trajs
+
+
+def write_reference_format_dataset(
+    root: str,
+    cfg: MultiverseConfig,
+    rng,
+    num_videos: int = 2,
+    frames_per_video: int = 40,
+    persons_per_video: int = 3,
+):
+    """Write a tiny dataset in the reference's on-disk input format:
+    per-video trajectory TSVs + per-frame scene-seg .npy files +
+    the scene id2name json. Returns (traj_path, scene_feat_path,
+    id2name_path)."""
+    traj_path = os.path.join(root, "traj_2.5fps")
+    scene_path = os.path.join(root, "scene_seg")
+    for split in ("train", "val", "test"):
+        os.makedirs(os.path.join(traj_path, split), exist_ok=True)
+
+    for split in ("train", "val", "test"):
+        for v in range(num_videos):
+            videoname = "VIRAT_S_%04d%02d_00" % (v, hash(split) % 90)
+            lines = []
+            trajs = {
+                p: random_walk(rng, frames_per_video,
+                               cfg.video_h, cfg.video_w)
+                for p in range(persons_per_video)
+            }
+            os.makedirs(os.path.join(scene_path, videoname), exist_ok=True)
+            for f in range(frames_per_video):
+                frame_idx = f * 12  # 2.5 fps of a 30fps video
+                for p, xy in trajs.items():
+                    lines.append("%d\t%d\t%.3f\t%.3f" % (
+                        frame_idx, p, xy[f, 0], xy[f, 1]))
+                np.save(
+                    os.path.join(
+                        scene_path, videoname,
+                        "%s_F_%08d.npy" % (videoname, frame_idx)),
+                    rng.randint(0, cfg.scene_class,
+                                (cfg.scene_h, cfg.scene_w)).astype(np.uint8),
+                )
+            with open(os.path.join(traj_path, split,
+                                   "%s.txt" % videoname), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+
+    id2name_path = os.path.join(root, "scene_id2name.json")
+    with open(id2name_path, "w") as fh:
+        json.dump({
+            "oldid2new": {str(i): i for i in range(1, cfg.scene_class)},
+            "id2name": {str(i): "class%d" % i
+                        for i in range(1, cfg.scene_class)},
+        }, fh)
+    return traj_path, scene_path, id2name_path
