@@ -1,0 +1,97 @@
+"""Headline benchmark: diverse-beam multi-future decode throughput.
+
+Measures trajectories/second through the full flagship inference path —
+scene CNN, ConvLSTM encoders, K=20 diverse beam decode with per-step
+GNN, greedy offset decode — at the published Forking Paths
+configuration (18×32 grid, hidden 256, T=25 decode steps), batched
+across trajectories on one chip.
+
+The reference decodes one trajectory per sess.run at batch size 1
+(reference: code/multifuture_inference.py:460-472) under TF1.
+BASELINE.json sets the target at ≥50× the reference's TF1-CPU
+throughput; we take 2.0 traj/s as the reference figure (a generous
+estimate for a batch-1 TF1 CPU beam decode of this graph — the
+reference publishes no throughput numbers, SURVEY.md §6), so
+vs_baseline ≥ 100 means the north-star target is met.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "traj/s", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_TRAJ_PER_SEC = 2.0  # estimated TF1-CPU batch-1 beam decode
+BATCH = 64
+T_PRED = 25
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    import jax
+
+    from multiverse_tpu.config import MultiverseConfig
+    from multiverse_tpu.inference import (
+        beam_forward,
+        make_batch,
+        synthesize_multifuture_inputs,
+    )
+    from multiverse_tpu.models import init_params
+
+    cfg = MultiverseConfig(
+        scene_grid_strides=(2, 4),
+        use_grids=(True, False),
+        use_beam_search=True,
+        beam_size=20,
+        diverse_beam=True,
+        diverse_gamma=0.01,
+        fix_num_timestep=1,
+        compute_dtype="bfloat16",
+    ).validate()
+
+    dev = jax.devices()[0]
+    print(f"bench: device={dev.platform}:{dev.device_kind}",
+          file=sys.stderr)
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    inputs = synthesize_multifuture_inputs(
+        cfg, num_traj=BATCH, max_pred_len=T_PRED)
+    batch = make_batch(inputs, np.arange(BATCH), cfg)
+    batch = jax.device_put(batch)
+    params = jax.device_put(params)
+
+    step = jax.jit(lambda p, b: beam_forward(p, b, cfg, T_pred=T_PRED))
+
+    def sync(out):
+        # force a host transfer: on tunneled/remote TPU backends
+        # block_until_ready can return before execution finishes
+        return float(np.asarray(out[0].logprobs[0, 0]))
+
+    t0 = time.perf_counter()
+    sync(step(params, batch))
+    print(f"bench: first compile+run {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    for _ in range(WARMUP - 1):
+        sync(step(params, batch))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(params, batch)
+        sync(out)
+    dt = time.perf_counter() - t0
+
+    traj_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "beam20_decode_throughput",
+        "value": round(traj_per_sec, 2),
+        "unit": "traj/s",
+        "vs_baseline": round(traj_per_sec / REFERENCE_TRAJ_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,458 @@
+"""Multi-future inference: batched diverse-beam decode over Forking
+Paths observation trajectories.
+
+Rebuild of reference: code/multifuture_inference.py. The reference runs
+one `sess.run` per trajectory at batch size 1 (:460-472); here all
+trajectories decode in static-shape batches — beams fold into the batch
+axis for every conv (MXU-sized), trajectories shard over the device
+mesh, and variable per-trajectory prediction lengths are handled by
+decoding to the batch max and freezing finished samples (the per-sample
+results are sliced back to each trajectory's own length).
+
+Output files keep the reference pickle contracts so the reference
+evaluators run unmodified:
+    output_file: {traj_id: [num_out][T][2]}          (:519-526)
+    save_prob_file: {traj_id: (beam_logits [1, K, T, H*W],
+                               beam_logprobs [1, K])} (:521-523, 528-530)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiverse_tpu.config import MultiverseConfig
+from multiverse_tpu.data import scene as scene_lib
+from multiverse_tpu.geometry import (
+    dense_regression_targets_np,
+    grid_centers,
+    one_hot_grid,
+    rasterize_traj_np,
+)
+from multiverse_tpu.models import Batch
+from multiverse_tpu.models.beam_search import BeamOutputs, diverse_beam_search
+from multiverse_tpu.models.multiverse import (
+    greedy_decode,
+    scene_encode,
+)
+from multiverse_tpu.ops import convlstm_scan
+from multiverse_tpu.ops.layers import get_activation
+from multiverse_tpu.ops import conv2d
+
+
+# ----------------------------------------------------------- forward
+
+
+def beam_forward(
+    params: dict,
+    batch: Batch,
+    cfg: MultiverseConfig,
+    T_pred: Optional[int] = None,
+) -> Tuple[BeamOutputs, jnp.ndarray]:
+    """Encoders + diverse beam decode + greedy regression decode.
+
+    The reference builds this graph in `PredictionModelInference`
+    (reference: code/multifuture_inference.py:301-385 over
+    code/pred_models.py:123-308): the class head decodes K beams; the
+    offset head decodes once greedily, and each beam's trajectory is
+    reconstructed as center[beam_cell] + reg[t, beam_cell].
+
+    Returns (BeamOutputs, reg_out [N, T, h, w, 2]) for the single
+    active scale.
+    """
+    cfg.validate()
+    T = T_pred or cfg.pred_len
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    act = get_activation(cfg.activation)
+    N, _, T_obs = batch.obs_grid_class.shape
+    i = cfg.active_scales[0]
+    h, w = cfg.scene_grids[i]
+    sp = params["scales"][str(i)]
+
+    scene_convs = []
+    if cfg.use_scene_enc:
+        scene_convs = scene_encode(
+            params, batch.scene_feat, batch.obs_scene, cfg, compute_dtype)
+
+    obs_onehot = one_hot_grid(batch.obs_grid_class[:, i], h, w)
+    if cfg.use_scene_enc:
+        enc_in = scene_convs[i] * obs_onehot
+    else:
+        flat = obs_onehot.reshape(N * T_obs, h, w, 1)
+        emb = conv2d(sp["enc_grid_emb"], flat, activation=act,
+                     compute_dtype=compute_dtype)
+        enc_in = emb.reshape(N, T_obs, h, w, -1)
+
+    _, enc_last = convlstm_scan(sp["enc_class"], enc_in,
+                                compute_dtype=compute_dtype)
+
+    scene_mean = None
+    if cfg.use_scene_enc and cfg.use_gnn:
+        scene_mean = jnp.mean(scene_convs[i], axis=1)
+
+    beam = diverse_beam_search(
+        sp, cfg,
+        first_input=obs_onehot[:, -1],
+        init_state=enc_last,
+        T_pred=T,
+        pred_length=batch.pred_length,
+        scene_mean=scene_mean,
+        save_states=cfg.use_single_decoder,
+        compute_dtype=compute_dtype,
+    )
+
+    reg_out = _reg_decode(params, batch, cfg, beam, T, compute_dtype)
+    return beam, reg_out
+
+
+def _reg_decode(params, batch, cfg, beam, T, compute_dtype):
+    N = batch.obs_grid_class.shape[0]
+    i = cfg.active_scales[0]
+    h, w = cfg.scene_grids[i]
+    sp = params["scales"][str(i)]
+    if cfg.use_single_decoder:
+        # regression read out of the gathered best-beam decoder states
+        # (reference: code/pred_models.py:296-305)
+        D = beam.states.shape[-1]
+        best_states = beam.states[:, 0].reshape(N * T, h, w, D)
+        reg = conv2d(sp["h2g_single"], best_states,
+                     compute_dtype=compute_dtype)
+        reg_out = reg.reshape(N, T, h, w, 2)
+    else:
+        _, enc_reg_last = convlstm_scan(
+            sp["enc_reg"], batch.obs_grid_target_all[0],
+            compute_dtype=compute_dtype)
+        reg_out, _ = greedy_decode(
+            sp, cfg,
+            first_input=batch.obs_grid_target_all[0][:, -1],
+            init_state=enc_reg_last,
+            T_pred=T,
+            emb_name="dec_reg_emb",
+            cell_name="dec_reg",
+            h2g_name="h2g_reg",
+            use_gnn=False,
+            feedback="raw",
+            compute_dtype=compute_dtype,
+        )
+    return reg_out
+
+
+def greedy_forward(
+    params: dict,
+    batch: Batch,
+    cfg: MultiverseConfig,
+    T_pred: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encoders + greedy class decode + greedy regression decode.
+
+    The `--greedy` inference path (reference:
+    code/multifuture_inference.py:483-498 over the grid_decoder at
+    code/pred_models.py:311-471). Returns
+    (class logits [N, T, h, w, 1], reg [N, T, h, w, 2]).
+    """
+    cfg = cfg.replace(use_beam_search=False).validate()
+    T = T_pred or cfg.pred_len
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    act = get_activation(cfg.activation)
+    N, _, T_obs = batch.obs_grid_class.shape
+    i = cfg.active_scales[0]
+    h, w = cfg.scene_grids[i]
+    sp = params["scales"][str(i)]
+
+    scene_convs = []
+    if cfg.use_scene_enc:
+        scene_convs = scene_encode(
+            params, batch.scene_feat, batch.obs_scene, cfg, compute_dtype)
+
+    obs_onehot = one_hot_grid(batch.obs_grid_class[:, i], h, w)
+    if cfg.use_scene_enc:
+        enc_in = scene_convs[i] * obs_onehot
+    else:
+        flat = obs_onehot.reshape(N * T_obs, h, w, 1)
+        emb = conv2d(sp["enc_grid_emb"], flat, activation=act,
+                     compute_dtype=compute_dtype)
+        enc_in = emb.reshape(N, T_obs, h, w, -1)
+    _, enc_last = convlstm_scan(sp["enc_class"], enc_in,
+                                compute_dtype=compute_dtype)
+    scene_mean = None
+    if cfg.use_scene_enc and cfg.use_gnn:
+        scene_mean = jnp.mean(scene_convs[i], axis=1)
+
+    logits, states = greedy_decode(
+        sp, cfg,
+        first_input=obs_onehot[:, -1],
+        init_state=enc_last,
+        T_pred=T,
+        emb_name="dec_class_emb",
+        cell_name="dec_class",
+        h2g_name="h2g_class",
+        use_gnn=cfg.use_gnn,
+        scene_mean=scene_mean,
+        feedback="onehot",
+        compute_dtype=compute_dtype,
+    )
+    if cfg.use_single_decoder:
+        D = states.shape[-1]
+        flat = states.reshape(N * T, h, w, D)
+        reg = conv2d(sp["h2g_single"], flat, compute_dtype=compute_dtype)
+        reg_out = reg.reshape(N, T, h, w, 2)
+    else:
+        reg_out = _reg_decode(params, batch, cfg, None, T, compute_dtype)
+    return logits, reg_out
+
+
+# ------------------------------------------------------------- inputs
+
+
+class MultifutureInputs(NamedTuple):
+    """Host-side arrays for one inference run (all trajectories)."""
+
+    traj_ids: List[str]
+    obs_traj: np.ndarray          # [N, T_obs, 2] float32
+    obs_grid_class: np.ndarray    # [N, S, T_obs] int32
+    obs_grid_target: List[np.ndarray]  # per scale [N, T_obs, h, w, 2]
+    obs_scene: np.ndarray         # [N, T_obs] int32
+    scene_feat: np.ndarray        # [F, SH, SW, C] uint8
+    pred_lengths: np.ndarray      # [N] int32 (max over GT futures)
+
+
+def load_multifuture_inputs(
+    traj_path: str,
+    multifuture_path: str,
+    scene_feat_path: str,
+    scene_id2name: str,
+    cfg: MultiverseConfig,
+) -> MultifutureInputs:
+    """Load Forking Paths obs TSVs + per-frame scene seg npys.
+
+    reference: code/multifuture_inference.py:158-272 `get_inputs`
+    (rasterization :115-156, scene one-hot :233-260 — here the per-pixel
+    loops are one vectorized table lookup).
+    """
+    oldid2new, num_classes = scene_lib.load_scene_id_map(scene_id2name)
+    table = scene_lib.remap_table(oldid2new)
+
+    traj_files = sorted(glob.glob(os.path.join(traj_path, "*.txt")))
+    traj_ids, obs_list, cls_list, tgt_list = [], [], [], []
+    scene_idx_list, pred_len_list = [], []
+    scene_rows: List[np.ndarray] = []
+
+    for traj_file in traj_files:
+        traj_id = os.path.splitext(os.path.basename(traj_file))[0]
+        _, _, x_agent_pid, _ = traj_id.split("_")
+        data = np.loadtxt(traj_file, delimiter="\t", dtype=np.float32)
+        frame_idxs = np.unique(data[:, 0])
+        obs = data[data[:, 1] == float(int(x_agent_pid)), 2:]
+        if len(obs) != cfg.obs_len:
+            raise ValueError(
+                f"{traj_id}: obs length {len(obs)} != {cfg.obs_len}")
+
+        cls, tgt = rasterize_traj_np(
+            obs, cfg.video_h, cfg.video_w, cfg.scene_grids)
+
+        idxs = np.zeros(cfg.obs_len, np.int32)
+        for t, fidx in enumerate(frame_idxs[:cfg.obs_len]):
+            npy = os.path.join(
+                scene_feat_path, traj_id,
+                "%s_F_%08d.npy" % (traj_id, int(fidx)))
+            idxs[t] = len(scene_rows)
+            scene_rows.append(np.load(npy))
+
+        with open(os.path.join(
+                multifuture_path, "%s.p" % traj_id), "rb") as f:
+            gt = pickle.load(f)
+        pred_len = max(
+            len(gt[fid]["x_agent_traj"]) for fid in gt)
+
+        traj_ids.append(traj_id)
+        obs_list.append(obs)
+        cls_list.append(cls)
+        tgt_list.append(tgt)
+        scene_idx_list.append(idxs)
+        pred_len_list.append(pred_len)
+
+    class_maps = np.stack(scene_rows)  # [F, SH, SW]
+    scene_feat = scene_lib.scene_class_map_to_onehot(
+        class_maps, table, num_classes)
+
+    num_scales = cfg.num_scales
+    return MultifutureInputs(
+        traj_ids=traj_ids,
+        obs_traj=np.stack(obs_list),
+        obs_grid_class=np.stack(cls_list),
+        obs_grid_target=[
+            np.stack([t[i] for t in tgt_list]) for i in range(num_scales)],
+        obs_scene=np.stack(scene_idx_list),
+        scene_feat=scene_feat,
+        pred_lengths=np.asarray(pred_len_list, np.int32),
+    )
+
+
+def synthesize_multifuture_inputs(
+    cfg: MultiverseConfig,
+    num_traj: int,
+    seed: int = 0,
+    max_pred_len: int = 25,
+) -> MultifutureInputs:
+    """Random-walk inputs with the exact shapes of a real run — used by
+    tests and by bench.py (no dataset ships with either repo)."""
+    rnd = np.random.RandomState(seed)
+    start = rnd.uniform(
+        [cfg.video_w * 0.2, cfg.video_h * 0.2],
+        [cfg.video_w * 0.8, cfg.video_h * 0.8],
+        size=(num_traj, 1, 2))
+    steps = rnd.normal(0.0, 25.0, size=(num_traj, cfg.obs_len, 2))
+    obs = (start + np.cumsum(steps, axis=1)).astype(np.float32)
+    obs[..., 0] = np.clip(obs[..., 0], 1.0, cfg.video_w - 1.0)
+    obs[..., 1] = np.clip(obs[..., 1], 1.0, cfg.video_h - 1.0)
+
+    cls = np.zeros((num_traj, cfg.num_scales, cfg.obs_len), np.int32)
+    tgts = [
+        np.zeros((num_traj, cfg.obs_len, h, w, 2), np.float32)
+        for (h, w) in cfg.scene_grids
+    ]
+    for n in range(num_traj):
+        c, t = rasterize_traj_np(
+            obs[n], cfg.video_h, cfg.video_w, cfg.scene_grids)
+        cls[n] = c
+        for i in range(cfg.num_scales):
+            tgts[i][n] = t[i]
+
+    F = max(1, num_traj // 2)
+    scene_feat = np.zeros(
+        (F, cfg.scene_h, cfg.scene_w, cfg.scene_class), np.uint8)
+    labels = rnd.randint(0, cfg.scene_class,
+                         size=(F, cfg.scene_h, cfg.scene_w))
+    scene_feat[
+        np.arange(F)[:, None, None],
+        np.arange(cfg.scene_h)[None, :, None],
+        np.arange(cfg.scene_w)[None, None, :],
+        labels] = 1
+    obs_scene = rnd.randint(
+        0, F, size=(num_traj, cfg.obs_len)).astype(np.int32)
+    pred_lengths = rnd.randint(
+        cfg.pred_len, max_pred_len + 1, size=num_traj).astype(np.int32)
+    return MultifutureInputs(
+        traj_ids=["scene_%04d_%d_cam1" % (n, n) for n in range(num_traj)],
+        obs_traj=obs,
+        obs_grid_class=cls,
+        obs_grid_target=tgts,
+        obs_scene=obs_scene,
+        scene_feat=scene_feat,
+        pred_lengths=pred_lengths,
+    )
+
+
+# --------------------------------------------------------------- driver
+
+
+def make_batch(
+    inputs: MultifutureInputs,
+    idxs: np.ndarray,
+    cfg: MultiverseConfig,
+) -> Batch:
+    """Slice a static-shape Batch for the given trajectory indices.
+
+    The scene table ships whole: Forking Paths inference reuses frames
+    heavily and the uint8 table is small (F × 36 × 64 × 11)."""
+    scale0 = cfg.active_scales[0]
+    return Batch(
+        obs_grid_class=inputs.obs_grid_class[idxs],
+        obs_grid_target_all=(inputs.obs_grid_target[scale0][idxs],),
+        obs_scene=inputs.obs_scene[idxs],
+        scene_feat=inputs.scene_feat,
+        pred_length=inputs.pred_lengths[idxs],
+    )
+
+
+def run_multifuture_inference(
+    params: dict,
+    inputs: MultifutureInputs,
+    cfg: MultiverseConfig,
+    batch_size: int = 16,
+    T_max: Optional[int] = None,
+    greedy: bool = False,
+    center_only: bool = False,
+    step_fn=None,
+) -> Tuple[Dict[str, list], Dict[str, tuple]]:
+    """Decode every trajectory; return (output_data, beam_prob) in the
+    reference pickle formats (reference:
+    code/multifuture_inference.py:475-530).
+    """
+    cfg = cfg.replace(use_beam_search=not greedy).validate()
+    i = cfg.active_scales[0]
+    h, w = cfg.scene_grids[i]
+    centers = grid_centers(cfg.video_h, cfg.video_w, h, w).reshape(-1, 2)
+    N = len(inputs.traj_ids)
+    T = T_max or int(inputs.pred_lengths.max())
+    K = cfg.beam_size
+
+    if step_fn is None:
+        if greedy:
+            step_fn = jax.jit(
+                lambda p, b: greedy_forward(p, b, cfg, T_pred=T))
+        else:
+            step_fn = jax.jit(
+                lambda p, b: beam_forward(p, b, cfg, T_pred=T))
+
+    output_data: Dict[str, list] = {}
+    beam_prob: Dict[str, tuple] = {}
+
+    for lo in range(0, N, batch_size):
+        idxs = np.arange(lo, min(lo + batch_size, N))
+        pad = batch_size - len(idxs)
+        padded = np.concatenate([idxs, np.full(pad, idxs[-1])]) \
+            if pad else idxs
+        batch = make_batch(inputs, padded, cfg)
+        if greedy:
+            class_logits, reg_out = jax.device_get(step_fn(params, batch))
+            beam = None
+        else:
+            beam, reg_out = jax.device_get(step_fn(params, batch))
+        reg_out = np.asarray(reg_out)
+
+        for a, n in enumerate(idxs):
+            traj_id = inputs.traj_ids[n]
+            pred_len = int(inputs.pred_lengths[n])
+            reg = reg_out[a, :pred_len].reshape(pred_len, h * w, 2)
+            if greedy:
+                sel = np.asarray(class_logits)[a, :pred_len].reshape(
+                    pred_len, h * w).argmax(axis=1)
+                pts = centers[sel] + (0.0 if center_only else reg[
+                    np.arange(pred_len), sel])
+                out_trajs = [list(pts) for _ in range(K)]
+            else:
+                out_trajs = []
+                for j in range(K):
+                    ids_j = beam.ids[a, j, :pred_len]
+                    pts = centers[ids_j]
+                    if not center_only:
+                        pts = pts + reg[np.arange(pred_len), ids_j]
+                    out_trajs.append(list(pts))
+            output_data[traj_id] = out_trajs
+            if beam is not None:
+                beam_prob[traj_id] = (
+                    np.asarray(beam.logits)[a:a + 1, :, :pred_len],
+                    np.asarray(beam.logprobs)[a:a + 1],
+                )
+    return output_data, beam_prob
+
+
+def save_outputs(
+    output_data: Dict[str, list],
+    beam_prob: Dict[str, tuple],
+    output_file: str,
+    save_prob_file: Optional[str] = None,
+) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+    with open(output_file, "wb") as f:
+        pickle.dump(output_data, f)
+    if save_prob_file is not None:
+        with open(save_prob_file, "wb") as f:
+            pickle.dump(beam_prob, f)

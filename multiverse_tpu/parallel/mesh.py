@@ -1,0 +1,220 @@
+"""Device mesh + sharding: the framework's parallelism layer.
+
+The reference has **no distributed execution of any kind** — every entry
+point pins one GPU (reference: code/train.py:35-36 "Now only one gpu is
+used", code/pred_models.py:28 `tf.device("/gpu:%d")`; SURVEY.md §2.9).
+This module is therefore a new, TPU-first component, not a port:
+
+* a `jax.sharding.Mesh` over ICI with axes ``("data", "model")``;
+* **data parallelism** (the strategy that pays at ~10M params): the
+  batch axis of every array in a :class:`~multiverse_tpu.models.Batch`
+  is sharded over ``"data"``; parameters are replicated; XLA/GSPMD
+  inserts the gradient ``psum`` automatically from the sharding
+  annotations — no hand-written collectives;
+* optional **tensor parallelism** over ``"model"``: every conv kernel's
+  output-channel axis (the ConvLSTM's fused 4·D gate dim, the scene
+  CNN's feature dim) is sharded; GSPMD places the all-gather of the
+  recurrent ``h`` feedback on ICI.  At the published model size this is
+  bandwidth-bound and off by default (``model_parallel=1``), but it is
+  a real, exercised code path (tests/test_parallel.py) so the framework
+  scales past HBM if the model grows;
+* beam decode shards the *trajectory* axis over ``"data"`` — beams stay
+  local to a chip (the per-step top-k over K·H·W is tiny and must not
+  cross ICI).
+
+Pipeline / sequence / expert / context parallelism are deliberately not
+implemented: sequences are ≤26 steps, there are no experts, and the
+model is two ConvLSTM stacks — there is nothing to pipeline (SURVEY.md
+§2.9, §5.7).  This is a documented design decision, not a gap.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multiverse_tpu.config import MultiverseConfig
+from multiverse_tpu.models import Batch, compute_loss, model_forward
+from multiverse_tpu.models.beam_search import diverse_beam_search
+from multiverse_tpu.train.trainer import TrainState
+
+
+# ----------------------------------------------------------------- mesh
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ``("data", "model")`` mesh over the available chips.
+
+    ``model_parallel`` chips per model-parallel group ride the fastest
+    ICI dimension (JAX device order is ICI-contiguous for slices).
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+# ------------------------------------------------------------ shardings
+
+
+def batch_pspec(batch: Batch) -> Batch:
+    """PartitionSpec tree for a Batch: leading axis over "data", except
+    the scene-feature table which is shared by all examples and
+    replicated (each example indexes into it)."""
+
+    def spec_for(name: str):
+        if name == "scene_feat":
+            return P()
+        return P("data")
+
+    return Batch(
+        obs_grid_class=spec_for("obs_grid_class"),
+        obs_grid_target_all=tuple(
+            spec_for("t") for _ in batch.obs_grid_target_all),
+        obs_scene=spec_for("obs_scene"),
+        scene_feat=spec_for("scene_feat"),
+        pred_grid_class=(None if batch.pred_grid_class is None
+                         else spec_for("pred_grid_class")),
+        pred_grid_target_all=(
+            None if batch.pred_grid_target_all is None else tuple(
+                spec_for("t") for _ in batch.pred_grid_target_all)),
+        pred_length=(None if batch.pred_length is None
+                     else spec_for("pred_length")),
+    )
+
+
+def param_pspecs(params: dict, mesh: Mesh) -> dict:
+    """PartitionSpec tree for the parameter pytree.
+
+    With a trivial "model" axis everything is replicated (pure DP).
+    Otherwise conv kernels shard their output-channel (last) axis and
+    biases their only axis over "model" when divisible — the ConvLSTM's
+    fused [k, k, Cin+D, 4D] kernel becomes 4D/mp per chip.
+    """
+    mp = mesh.shape["model"]
+
+    def spec(path, leaf):
+        if mp == 1:
+            return P()
+        if leaf.ndim >= 1 and leaf.shape[-1] % mp == 0:
+            return P(*((None,) * (leaf.ndim - 1) + ("model",)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
+    """Place a host Batch onto the mesh with DP sharding."""
+    specs = batch_pspec(batch)
+
+    def put(x, s):
+        if x is None:
+            return None
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map(
+        put, batch, specs,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def _replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+# -------------------------------------------------------------- steps
+
+
+def make_sharded_train_step(
+    cfg: MultiverseConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, dict]]:
+    """DP(+optional TP) training step jitted over the mesh.
+
+    Shardings propagate from the argument placement (use
+    :func:`place_train_state` / :func:`shard_batch`); the per-example
+    loss mean makes XLA emit the gradient all-reduce over "data" on its
+    own — no hand-written collectives.
+    """
+
+    def loss_fn(params, batch):
+        out = model_forward(params, batch, cfg, is_train=True)
+        total, parts = compute_loss(params, batch, out, cfg)
+        return total, parts
+
+    def step(state: TrainState, batch: Batch):
+        (total, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        parts = dict(parts)
+        parts["total"] = total
+        return TrainState(state.step + 1, new_params, new_opt), parts
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sharded_eval_step(cfg: MultiverseConfig, mesh: Mesh):
+    """Greedy-decode inference step, batch sharded over "data"."""
+
+    def step(params, batch: Batch):
+        out = model_forward(params, batch, cfg, is_train=False)
+        return out.class_logits, out.reg_out
+
+    return jax.jit(step)
+
+
+def make_sharded_beam_step(
+    cfg: MultiverseConfig,
+    mesh: Mesh,
+    T_pred: Optional[int] = None,
+):
+    """Diverse-beam decode with the trajectory axis sharded over "data".
+
+    The reference decodes one trajectory per sess.run at batch size 1
+    (reference: code/multifuture_inference.py:460-472); here N
+    trajectories decode at once across the mesh and K beams stay
+    chip-local inside the folded batch axis.
+    """
+    T = T_pred or cfg.pred_len
+
+    def step(params, batch: Batch):
+        from multiverse_tpu.inference import beam_forward
+        return beam_forward(params, batch, cfg, T_pred=T)
+
+    return jax.jit(step)
+
+
+def init_sharded_train_state(
+    params: dict,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+) -> TrainState:
+    """Place params per :func:`param_pspecs` and init the optimizer
+    *on device* so its accumulators inherit the same shardings."""
+    pspecs = param_pspecs(params, mesh)
+    placed = jax.tree.map(
+        lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+        params, pspecs)
+    opt_state = jax.jit(tx.init)(placed)
+    return TrainState(
+        step=_replicate(mesh, jnp.zeros((), jnp.int32)),
+        params=placed,
+        opt_state=opt_state,
+    )

@@ -1,0 +1,109 @@
+"""Multifuture inference: batched beam decode + reference pickle formats."""
+
+import numpy as np
+import pytest
+
+from multiverse_tpu.config import MultiverseConfig
+from multiverse_tpu.inference import (
+    run_multifuture_inference,
+    synthesize_multifuture_inputs,
+)
+from multiverse_tpu.models import init_params
+
+import jax
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        scene_h=12, scene_w=16, video_h=540, video_w=960,
+        enc_hidden_size=16, dec_hidden_size=16,
+        scene_conv_dim=8, emb_size=8,
+        scene_grid_strides=(2, 4), use_grids=(True, False),
+        use_beam_search=True, beam_size=4,
+        diverse_beam=True, diverse_gamma=0.01, fix_num_timestep=1,
+    )
+    base.update(kw)
+    return MultiverseConfig(**base).validate()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    inputs = synthesize_multifuture_inputs(cfg, num_traj=7, max_pred_len=15)
+    return cfg, params, inputs
+
+
+def test_output_formats(setup):
+    cfg, params, inputs = setup
+    out, prob = run_multifuture_inference(
+        params, inputs, cfg, batch_size=4)
+    assert set(out) == set(inputs.traj_ids)
+    i = cfg.active_scales[0]
+    h, w = cfg.scene_grids[i]
+    for n, tid in enumerate(inputs.traj_ids):
+        T = int(inputs.pred_lengths[n])
+        trajs = out[tid]
+        # {traj_id: [num_out][T][2]} (reference:
+        # code/multifuture_inference.py:519-526)
+        assert len(trajs) == cfg.beam_size
+        for tr in trajs:
+            assert len(tr) == T
+            assert np.asarray(tr).shape == (T, 2)
+            assert np.isfinite(np.asarray(tr)).all()
+        logits, logprobs = prob[tid]
+        assert logits.shape == (1, cfg.beam_size, T, h * w)
+        assert logprobs.shape == (1, cfg.beam_size)
+
+
+def test_beams_are_diverse_and_sorted(setup):
+    cfg, params, inputs = setup
+    out, prob = run_multifuture_inference(
+        params, inputs, cfg, batch_size=4)
+    tid = inputs.traj_ids[0]
+    _, logprobs = prob[tid]
+    lp = np.asarray(logprobs[0])
+    assert (np.diff(lp) <= 1e-5).all(), "beams must be sorted by logprob"
+    trajs = np.asarray([np.asarray(t) for t in out[tid]])
+    # at least two distinct hypotheses
+    assert np.unique(trajs.round(1), axis=0).shape[0] > 1
+
+
+def test_greedy_matches_num_out(setup):
+    cfg, params, inputs = setup
+    out, _ = run_multifuture_inference(
+        params, inputs, cfg, batch_size=4, greedy=True)
+    tid = inputs.traj_ids[0]
+    assert len(out[tid]) == cfg.beam_size
+    a = np.asarray(out[tid][0])
+    b = np.asarray(out[tid][-1])
+    np.testing.assert_array_equal(a, b)  # greedy replicates one traj
+
+
+def test_batching_invariance(setup):
+    """Padding/batch size must not change any trajectory's output."""
+    cfg, params, inputs = setup
+    out1, _ = run_multifuture_inference(params, inputs, cfg, batch_size=7)
+    out2, _ = run_multifuture_inference(params, inputs, cfg, batch_size=3)
+    for tid in inputs.traj_ids:
+        np.testing.assert_allclose(
+            np.asarray(out1[tid]), np.asarray(out2[tid]),
+            rtol=1e-4, atol=1e-4)
+
+
+def test_save_outputs_roundtrip(tmp_path, setup):
+    import pickle
+
+    from multiverse_tpu.inference import save_outputs
+
+    cfg, params, inputs = setup
+    out, prob = run_multifuture_inference(params, inputs, cfg, batch_size=4)
+    f1 = str(tmp_path / "out.traj.p")
+    f2 = str(tmp_path / "out.prob.p")
+    save_outputs(out, prob, f1, f2)
+    with open(f1, "rb") as f:
+        loaded = pickle.load(f)
+    assert set(loaded) == set(inputs.traj_ids)
+    with open(f2, "rb") as f:
+        loaded_p = pickle.load(f)
+    assert set(loaded_p) == set(inputs.traj_ids)

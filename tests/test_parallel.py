@@ -1,0 +1,157 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU platform.
+
+Validates that the DP(+TP) sharded paths produce the same numbers as
+single-device execution — the GSPMD equivalent of a distributed-backend
+correctness suite (the reference has no distributed execution at all,
+SURVEY.md §2.9).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiverse_tpu.config import MultiverseConfig
+from multiverse_tpu.models import Batch, init_params
+from multiverse_tpu.parallel import (
+    init_sharded_train_state,
+    make_mesh,
+    make_sharded_train_step,
+    param_pspecs,
+    shard_batch,
+)
+from multiverse_tpu.train.trainer import (
+    build_optimizer,
+    init_train_state,
+    make_train_step,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        scene_h=12, scene_w=16,
+        enc_hidden_size=32, dec_hidden_size=32,
+        scene_conv_dim=16, emb_size=8,
+        scene_grid_strides=(2, 4), use_grids=(True, False),
+        batch_size=8,
+    )
+    base.update(kw)
+    return MultiverseConfig(**base).validate()
+
+
+def tiny_batch(cfg, n, seed=0):
+    rnd = np.random.RandomState(seed)
+    i = cfg.active_scales[0]
+    h, w = cfg.scene_grids[i]
+    F = 4
+    scene = np.zeros((F, cfg.scene_h, cfg.scene_w, cfg.scene_class),
+                     np.uint8)
+    scene[..., 0] = 1
+    return Batch(
+        obs_grid_class=rnd.randint(
+            0, h * w, (n, cfg.num_scales, cfg.obs_len)).astype(np.int32),
+        obs_grid_target_all=(
+            rnd.randn(n, cfg.obs_len, h, w, 2).astype(np.float32),),
+        obs_scene=rnd.randint(0, F, (n, cfg.obs_len)).astype(np.int32),
+        scene_feat=scene,
+        pred_grid_class=rnd.randint(
+            0, h * w, (n, cfg.num_scales, cfg.pred_len)).astype(np.int32),
+        pred_grid_target_all=(
+            rnd.randn(n, cfg.pred_len, h, w, 2).astype(np.float32),),
+    )
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_devices=8)
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    mesh = make_mesh(n_devices=8, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_devices=7, model_parallel=2)
+
+
+def test_param_pspecs_tp_shards_channel_axes():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_devices=8, model_parallel=2)
+    specs = param_pspecs(params, mesh)
+    k = specs["scales"]["0"]["enc_class"]["kernel"]
+    assert k[-1] == "model"  # 4*D gate axis sharded
+    # replicated under pure DP
+    mesh1 = make_mesh(n_devices=8, model_parallel=1)
+    specs1 = param_pspecs(params, mesh1)
+    assert all(
+        s == jax.sharding.PartitionSpec()
+        for s in jax.tree.leaves(
+            specs1, is_leaf=lambda x: isinstance(
+                x, jax.sharding.PartitionSpec))
+    )
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_sharded_train_step_matches_single_device(model_parallel):
+    cfg = tiny_cfg()
+    n = cfg.batch_size
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch = tiny_batch(cfg, n)
+    tx = build_optimizer(cfg, train_num_examples=n * 4)
+
+    # single-device reference (copy params — the step donates its input)
+    state0, _ = init_train_state(
+        jax.tree.map(jnp.array, params), cfg, n * 4)
+    step0 = make_train_step(cfg, tx)
+    _, losses0 = step0(state0, jax.tree.map(jnp.asarray, batch))
+    ref_total = float(losses0["total"])
+
+    mesh = make_mesh(n_devices=8, model_parallel=model_parallel)
+    state = init_sharded_train_state(params, tx, mesh)
+    sbatch = shard_batch(mesh, batch)
+    step = make_sharded_train_step(cfg, tx, mesh)
+    with mesh:
+        new_state, losses = step(state, sbatch)
+    total = float(jax.device_get(losses["total"]))
+    assert np.isfinite(total)
+    np.testing.assert_allclose(total, ref_total, rtol=2e-4)
+    # updated params finite and actually changed
+    leaf = jax.device_get(jax.tree.leaves(new_state.params)[0])
+    assert np.isfinite(leaf).all()
+    assert int(new_state.step) == 1
+
+
+def test_sharded_beam_step_runs():
+    cfg = tiny_cfg(use_beam_search=True, beam_size=4, diverse_beam=True,
+                   diverse_gamma=0.01)
+    from multiverse_tpu.inference import beam_forward
+
+    n = 8
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch = tiny_batch(cfg, n)
+    batch = Batch(
+        obs_grid_class=batch.obs_grid_class,
+        obs_grid_target_all=batch.obs_grid_target_all,
+        obs_scene=batch.obs_scene,
+        scene_feat=batch.scene_feat,
+        pred_length=np.full(n, cfg.pred_len, np.int32),
+    )
+    mesh = make_mesh(n_devices=8)
+    sbatch = shard_batch(mesh, batch)
+    step = jax.jit(lambda p, b: beam_forward(p, b, cfg))
+    with mesh:
+        beam, reg = step(params, sbatch)
+    i = cfg.active_scales[0]
+    h, w = cfg.scene_grids[i]
+    assert beam.ids.shape == (n, 4, cfg.pred_len)
+    assert reg.shape == (n, cfg.pred_len, h, w, 2)
+    assert np.isfinite(np.asarray(beam.logprobs)).all()
+
+
+def test_graft_entry_dryrun():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    g = importlib.import_module("__graft_entry__")
+    g.dryrun_multichip(8)
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert all(np.isfinite(np.asarray(o)).all() for o in jax.tree.leaves(out))
