@@ -1,0 +1,108 @@
+"""Shared argparse → MultiverseConfig plumbing for the CLI drivers.
+
+Flag names match the reference's argparse surface
+(reference: code/train.py:25-138, code/test.py:22-134) so the commands
+documented in TRAINING.md / TESTING.md carry over; everything lands in
+the single dataclass config instead of a mutable namespace
+(reference: code/pred_utils.py:70-146 `process_args`).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from multiverse_tpu.config import MultiverseConfig
+
+
+def add_model_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--obs_len", type=int, default=8)
+    parser.add_argument("--pred_len", type=int, default=12)
+    parser.add_argument("--emb_size", type=int, default=32)
+    parser.add_argument("--enc_hidden_size", type=int, default=256)
+    parser.add_argument("--dec_hidden_size", type=int, default=256)
+    parser.add_argument("--activation_func", type=str, default="tanh",
+                        help="relu/lrelu/tanh")
+    parser.add_argument("--scene_conv_kernel", default=3, type=int)
+    parser.add_argument("--scene_h", default=36, type=int)
+    parser.add_argument("--scene_w", default=64, type=int)
+    parser.add_argument("--scene_class", default=11, type=int)
+    parser.add_argument("--scene_conv_dim", default=64, type=int)
+    parser.add_argument("--convlstm_kernel", default=3, type=int)
+    parser.add_argument("--scene_grid_strides", default="2,4")
+    parser.add_argument("--use_grids", default="1,0")
+    parser.add_argument("--video_h", type=int, default=1080)
+    parser.add_argument("--video_w", type=int, default=1920)
+    parser.add_argument("--use_gnn", action="store_true")
+    parser.add_argument("--use_scene_enc", action="store_true")
+    parser.add_argument("--use_single_decoder", action="store_true")
+    parser.add_argument("--use_teacher_forcing", action="store_true")
+    parser.add_argument("--train_w_onehot", action="store_true")
+    parser.add_argument("--use_soft_grid_class", action="store_true")
+    parser.add_argument("--soft_grid", default=1, type=int)
+    parser.add_argument("--mask_grid_regression", action="store_true")
+    parser.add_argument("--use_beam_search", action="store_true")
+    parser.add_argument("--diverse_beam", action="store_true")
+    parser.add_argument("--diverse_gamma", type=float, default=1.0)
+    parser.add_argument("--fix_num_timestep", type=int, default=0)
+    parser.add_argument("--beam_size", type=int, default=5)
+    parser.add_argument("--compute_dtype", default="float32",
+                        help="float32|bfloat16 conv/matmul compute")
+
+
+def add_train_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--grid_loss_weight", default=1.0, type=float)
+    parser.add_argument("--grid_reg_loss_weight", default=0.1, type=float)
+    parser.add_argument("--wd", default=0.0001, type=float)
+    parser.add_argument("--clip_gradient_norm", default=10.0, type=float)
+    parser.add_argument("--optimizer", default="adadelta")
+    parser.add_argument("--use_cosine_lr", action="store_true")
+    parser.add_argument("--learning_rate_decay", default=0.95, type=float)
+    parser.add_argument("--num_epoch_per_decay", default=2.0, type=float)
+    parser.add_argument("--init_lr", default=0.2, type=float)
+    parser.add_argument("--emb_lr", type=float, default=1.0)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--num_epochs", type=int, default=100)
+    parser.add_argument("--keep_prob", default=1.0, type=float)
+
+
+def config_from_args(args: argparse.Namespace) -> MultiverseConfig:
+    grid_kw = MultiverseConfig.parse_strides(
+        args.scene_grid_strides, args.use_grids)
+    kw = dict(
+        obs_len=args.obs_len,
+        pred_len=args.pred_len,
+        emb_size=args.emb_size,
+        enc_hidden_size=args.enc_hidden_size,
+        dec_hidden_size=args.dec_hidden_size,
+        activation=args.activation_func,
+        scene_conv_kernel=args.scene_conv_kernel,
+        scene_h=args.scene_h,
+        scene_w=args.scene_w,
+        scene_class=args.scene_class,
+        scene_conv_dim=args.scene_conv_dim,
+        convlstm_kernel=args.convlstm_kernel,
+        video_h=args.video_h,
+        video_w=args.video_w,
+        use_gnn=args.use_gnn,
+        use_scene_enc=args.use_scene_enc,
+        use_single_decoder=args.use_single_decoder,
+        use_teacher_forcing=args.use_teacher_forcing,
+        train_w_onehot=args.train_w_onehot,
+        use_soft_grid_class=args.use_soft_grid_class,
+        soft_grid=args.soft_grid,
+        mask_grid_regression=args.mask_grid_regression,
+        use_beam_search=args.use_beam_search,
+        diverse_beam=args.diverse_beam,
+        diverse_gamma=args.diverse_gamma,
+        fix_num_timestep=args.fix_num_timestep,
+        beam_size=args.beam_size,
+        compute_dtype=args.compute_dtype,
+        **grid_kw,
+    )
+    for name in ("grid_loss_weight", "grid_reg_loss_weight", "wd",
+                 "clip_gradient_norm", "optimizer", "use_cosine_lr",
+                 "learning_rate_decay", "num_epoch_per_decay", "init_lr",
+                 "emb_lr", "batch_size", "num_epochs", "keep_prob"):
+        if hasattr(args, name):
+            kw[name] = getattr(args, name)
+    return MultiverseConfig(**kw).validate()

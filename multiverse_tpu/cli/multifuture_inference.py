@@ -1,0 +1,110 @@
+"""Multi-future inference driver: Forking Paths obs → K trajectories.
+
+reference: code/multifuture_inference.py CLI (same flags, same output
+pickle formats), but trajectories decode in device batches instead of
+one sess.run per trajectory at batch 1 (:460-472).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from multiverse_tpu.config import MultiverseConfig
+from multiverse_tpu.inference import (
+    load_multifuture_inputs,
+    run_multifuture_inference,
+    save_outputs,
+)
+from multiverse_tpu.models import init_params
+from multiverse_tpu.train.checkpoints import restore_params_from
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("model_path", help="checkpoint directory")
+    parser.add_argument("traj_path", help="obs trajectory TSVs")
+    parser.add_argument("multifuture_path", help="GT future pickles")
+    parser.add_argument("output_file")
+    parser.add_argument("--save_prob_file", default=None)
+    parser.add_argument("--obs_length", type=int, default=8)
+    parser.add_argument("--num_out", type=int, default=20)
+    parser.add_argument("--greedy", action="store_true")
+    parser.add_argument("--center_only", action="store_true")
+    parser.add_argument("--diverse_beam", action="store_true")
+    parser.add_argument("--diverse_gamma", type=float, default=1.0)
+    parser.add_argument("--fix_num_timestep", type=int, default=0)
+    parser.add_argument("--grid_strides", default="2,4")
+    parser.add_argument("--use_grids", default="1,0")
+    parser.add_argument("--emb_size", type=int, default=32)
+    parser.add_argument("--enc_hidden_size", type=int, default=256)
+    parser.add_argument("--dec_hidden_size", type=int, default=256)
+    parser.add_argument("--scene_conv_kernel", type=int, default=3)
+    parser.add_argument("--scene_conv_dim", type=int, default=64)
+    parser.add_argument("--convlstm_kernel", type=int, default=3)
+    parser.add_argument("--use_gnn", action="store_true")
+    parser.add_argument("--use_scene_enc", action="store_true")
+    parser.add_argument("--use_single_decoder", action="store_true")
+    parser.add_argument("--use_soft_grid_class", action="store_true")
+    parser.add_argument("--scene_feat_path", default=None)
+    parser.add_argument("--scene_id2name", default=None)
+    parser.add_argument("--scene_h", type=int, default=36)
+    parser.add_argument("--scene_w", type=int, default=64)
+    parser.add_argument("--scene_class", type=int, default=11)
+    parser.add_argument("--video_h", type=int, default=1080)
+    parser.add_argument("--video_w", type=int, default=1920)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--compute_dtype", default="bfloat16")
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = MultiverseConfig(
+        obs_len=args.obs_length,
+        emb_size=args.emb_size,
+        enc_hidden_size=args.enc_hidden_size,
+        dec_hidden_size=args.dec_hidden_size,
+        scene_conv_kernel=args.scene_conv_kernel,
+        scene_conv_dim=args.scene_conv_dim,
+        convlstm_kernel=args.convlstm_kernel,
+        use_gnn=args.use_gnn,
+        use_scene_enc=args.use_scene_enc,
+        use_single_decoder=args.use_single_decoder,
+        use_soft_grid_class=args.use_soft_grid_class,
+        scene_h=args.scene_h,
+        scene_w=args.scene_w,
+        scene_class=args.scene_class,
+        video_h=args.video_h,
+        video_w=args.video_w,
+        beam_size=args.num_out,
+        use_beam_search=not args.greedy,
+        diverse_beam=args.diverse_beam,
+        diverse_gamma=args.diverse_gamma,
+        fix_num_timestep=args.fix_num_timestep,
+        compute_dtype=args.compute_dtype,
+        **MultiverseConfig.parse_strides(args.grid_strides, args.use_grids),
+    ).validate()
+
+    inputs = load_multifuture_inputs(
+        args.traj_path, args.multifuture_path,
+        args.scene_feat_path, args.scene_id2name, cfg)
+    print("loaded %d trajectories" % len(inputs.traj_ids))
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = restore_params_from(args.model_path, params)
+
+    output_data, beam_prob = run_multifuture_inference(
+        params, inputs, cfg,
+        batch_size=args.batch_size,
+        greedy=args.greedy,
+        center_only=args.center_only,
+    )
+    save_outputs(output_data, beam_prob,
+                 args.output_file, args.save_prob_file)
+    print("wrote %s" % args.output_file)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Single-future evaluation driver.
+
+reference: code/test.py — loads the test split, restores a checkpoint,
+runs the full evaluate loop and prints the metric table (:157-182).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from multiverse_tpu.cli.common import add_model_args, config_from_args
+from multiverse_tpu.data.dataset import read_data
+from multiverse_tpu.models import init_params
+from multiverse_tpu.models.beam_search import BeamOutputs
+from multiverse_tpu.parallel import (
+    make_mesh_for_batch,
+    make_sharded_eval_step,
+    replicate,
+    shard_batch,
+)
+from multiverse_tpu.train.checkpoints import (
+    CheckpointManager,
+    process_out_dirs,
+    restore_params_from,
+)
+from multiverse_tpu.train.evaluate import evaluate
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("prepropath", type=str)
+    parser.add_argument("outbasepath", type=str)
+    parser.add_argument("modelname", type=str)
+    parser.add_argument("--runId", type=int, default=0)
+    parser.add_argument("--load_best", action="store_true")
+    parser.add_argument("--load_from", type=str, default=None)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--save_output", default=None)
+    parser.add_argument("--use_gt_grid", action="store_true")
+    parser.add_argument("--per_scene_eval", action="store_true")
+    add_model_args(parser)
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args).replace(batch_size=args.batch_size)
+
+    test_data = read_data(args.prepropath, "test", cfg)
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    if args.load_from is not None:
+        params = restore_params_from(args.load_from, params)
+    else:
+        outpath = process_out_dirs(
+            args.outbasepath, args.modelname, args.runId)
+        ckpt = CheckpointManager(outpath)
+        params = ckpt.restore_params(params, best=args.load_best)
+
+    mesh = make_mesh_for_batch(args.batch_size)
+    params = replicate(mesh, params)
+    eval_step = make_sharded_eval_step(cfg, mesh)
+
+    def eval_fn(batch):
+        cl, rg = eval_step(params, shard_batch(mesh, batch))
+        return jax.device_get(cl), jax.device_get(rg)
+
+    beam_fn = None
+    if cfg.use_beam_search:
+        from multiverse_tpu.inference import beam_forward
+
+        bstep = jax.jit(lambda p, b: beam_forward(p, b, cfg))
+
+        def beam_fn(batch):
+            beam, _ = bstep(params, shard_batch(mesh, batch))
+            return BeamOutputs(*jax.device_get(tuple(beam)))
+
+    with mesh:
+        perf = evaluate(
+            test_data, cfg, eval_fn,
+            batch_size=args.batch_size,
+            per_scene_eval=args.per_scene_eval,
+            use_gt_grid=args.use_gt_grid,
+            save_output=args.save_output,
+            beam_step_fn=beam_fn,
+        )
+
+    # metric table (reference: code/test.py:157-182)
+    numbers, names = [], []
+    for k in sorted(perf.keys()):
+        numbers.append("%.5f" % perf[k])
+        names.append(k)
+    print(" ".join(names))
+    print(" ".join(numbers))
+
+
+if __name__ == "__main__":
+    main()

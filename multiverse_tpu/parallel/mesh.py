@@ -69,6 +69,16 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:
+    """Mesh whose "data" axis is the largest divisor of `batch_size`
+    that fits the available chips — small (debug) batches then simply
+    use fewer chips instead of erroring on divisibility."""
+    avail = len(jax.devices()) // model_parallel
+    dp = max(d for d in range(1, avail + 1) if batch_size % d == 0)
+    return make_mesh(n_devices=dp * model_parallel,
+                     model_parallel=model_parallel)
+
+
 # ------------------------------------------------------------ shardings
 
 
@@ -133,8 +143,12 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
     )
 
 
-def _replicate(mesh: Mesh, tree):
+def replicate(mesh: Mesh, tree):
+    """Place a pytree fully replicated over the mesh."""
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+_replicate = replicate
 
 
 # -------------------------------------------------------------- steps

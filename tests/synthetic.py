@@ -141,3 +141,73 @@ def write_reference_format_dataset(
                         for i in range(1, cfg.scene_class)},
         }, fh)
     return traj_path, scene_path, id2name_path
+
+
+def write_multifuture_dataset(
+    root: str,
+    cfg: MultiverseConfig,
+    rng,
+    num_traj: int = 4,
+    num_futures: int = 3,
+    max_pred_len: int = 8,
+):
+    """Write a tiny Forking-Paths-style inference dataset: obs TSVs,
+    per-frame scene seg npys, GT future pickles, scene id json
+    (formats per reference: code/multifuture_inference.py:78-272 and
+    forking_paths_dataset/code/get_prepared_data_multifuture.py:244-251).
+    Returns (traj_path, multifuture_path, scene_feat_path, id2name_path).
+    """
+    import pickle
+
+    traj_path = os.path.join(root, "obs_traj")
+    mf_path = os.path.join(root, "multifuture")
+    scene_path = os.path.join(root, "obs_scene_seg")
+    os.makedirs(traj_path, exist_ok=True)
+    os.makedirs(mf_path, exist_ok=True)
+
+    cameras = ["cam1", "cam4"]
+    for n in range(num_traj):
+        camera = cameras[n % len(cameras)]
+        traj_id = "zara01_%d_%d_%s" % (n, n % 3, camera)
+        pid = n % 3
+        xy = random_walk(rng, cfg.obs_len, cfg.video_h, cfg.video_w)
+        lines = []
+        os.makedirs(os.path.join(scene_path, traj_id), exist_ok=True)
+        for t in range(cfg.obs_len):
+            frame_idx = t * 12
+            lines.append("%d\t%d\t%.3f\t%.3f" % (
+                frame_idx, pid, xy[t, 0], xy[t, 1]))
+            # an extra distractor pedestrian in some frames
+            if t % 2 == 0:
+                lines.append("%d\t%d\t%.1f\t%.1f" % (
+                    frame_idx, pid + 7, 10.0 + t, 12.0 + t))
+            np.save(
+                os.path.join(scene_path, traj_id,
+                             "%s_F_%08d.npy" % (traj_id, frame_idx)),
+                rng.randint(0, cfg.scene_class,
+                            (cfg.scene_h, cfg.scene_w)).astype(np.uint8))
+        with open(os.path.join(traj_path, "%s.txt" % traj_id), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+        gt = {}
+        for k in range(num_futures):
+            T = int(rng.randint(cfg.pred_len, max_pred_len + 1))
+            fut = random_walk(rng, T, cfg.video_h, cfg.video_w)
+            gt["annotator%d" % k] = {
+                "x_agent_traj": [
+                    (cfg.obs_len * 12 + 12 * t, pid,
+                     float(fut[t, 0]), float(fut[t, 1]))
+                    for t in range(T)
+                ]
+            }
+        with open(os.path.join(mf_path, "%s.p" % traj_id), "wb") as fh:
+            pickle.dump(gt, fh)
+
+    id2name_path = os.path.join(root, "mf_scene_id2name.json")
+    with open(id2name_path, "w") as fh:
+        json.dump({
+            "oldid2new": {str(i): i for i in range(1, cfg.scene_class)},
+            "id2name": {str(i): "class%d" % i
+                        for i in range(1, cfg.scene_class)},
+        }, fh)
+    return traj_path, mf_path, scene_path, id2name_path

@@ -1,0 +1,146 @@
+"""End-to-end CLI tests on a tiny synthetic dataset: preprocess →
+train → test → multifuture inference → evaluators (the full reference
+workflow per TRAINING.md / TESTING.md, at toy scale on CPU)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from tests.synthetic import (
+    tiny_config,
+    write_multifuture_dataset,
+    write_reference_format_dataset,
+)
+
+MODEL_FLAGS = [
+    "--obs_len", "4", "--pred_len", "5",
+    "--scene_h", "12", "--scene_w", "16", "--scene_class", "5",
+    "--emb_size", "8", "--enc_hidden_size", "16",
+    "--dec_hidden_size", "16", "--scene_conv_dim", "8",
+    "--scene_grid_strides", "2,4", "--use_grids", "1,0",
+    "--use_gnn", "--use_scene_enc",
+]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.RandomState(7)
+    cfg = tiny_config()
+    traj_path, scene_path, id2name = write_reference_format_dataset(
+        str(root), cfg, rng, num_videos=2, frames_per_video=20)
+    return dict(root=str(root), cfg=cfg, traj_path=traj_path,
+                scene_path=scene_path, id2name=id2name,
+                rng=rng)
+
+
+@pytest.fixture(scope="module")
+def prepro(workdir):
+    from multiverse_tpu.cli import preprocess
+
+    out = os.path.join(workdir["root"], "prepro")
+    preprocess.main([
+        workdir["traj_path"], out,
+        "--obs_len", "4", "--pred_len", "5",
+        "--add_grid", "--add_all_reg", "--add_scene",
+        "--scene_feat_path", workdir["scene_path"],
+        "--scene_id2name", workdir["id2name"],
+        "--direct_scene_feat",
+        "--scene_h", "12", "--scene_w", "16",
+        "--grid_strides", "2,4",
+    ])
+    assert os.path.exists(os.path.join(out, "data_train.npz"))
+    return out
+
+
+@pytest.fixture(scope="module")
+def trained(workdir, prepro):
+    from multiverse_tpu.cli import train
+
+    outbase = os.path.join(workdir["root"], "models")
+    train.main([
+        prepro, outbase, "toy", "--runId", "1",
+        "--batch_size", "4", "--num_epochs", "2",
+        "--save_period", "5", "--init_lr", "0.3",
+        *MODEL_FLAGS,
+    ])
+    outpath = os.path.join(outbase, "toy", "01")
+    assert os.path.exists(os.path.join(outpath, "config.json"))
+    assert os.path.isdir(os.path.join(outpath, "save"))
+    assert os.path.isdir(os.path.join(outpath, "best"))
+    assert os.path.exists(os.path.join(outpath, "val_perf.json"))
+    return outbase
+
+
+def test_train_artifacts(trained, workdir):
+    outpath = os.path.join(trained, "toy", "01")
+    with open(os.path.join(outpath, "val_perf.json")) as f:
+        perf = json.load(f)
+    assert perf["best"]["step"] > 0
+
+
+def test_test_cli(trained, prepro, workdir, capsys):
+    from multiverse_tpu.cli import test as test_cli
+
+    save_out = os.path.join(workdir["root"], "test_out.p")
+    test_cli.main([
+        prepro, trained, "toy", "--runId", "1", "--load_best",
+        "--batch_size", "4", "--save_output", save_out,
+        *MODEL_FLAGS,
+    ])
+    printed = capsys.readouterr().out.strip().splitlines()
+    names, numbers = printed[-2].split(), printed[-1].split()
+    perf = dict(zip(names, (float(x) for x in numbers)))
+    assert "grid0_traj_ade" in perf
+    assert perf["grid0_traj_ade"] > 0
+    assert os.path.exists(save_out)
+    with open(save_out, "rb") as f:
+        data = pickle.load(f)
+    assert "grid0_pred_traj" in data and "seq_ids" in data
+
+
+def test_multifuture_pipeline(trained, workdir, capsys):
+    from multiverse_tpu.cli import (
+        multifuture_eval_trajs,
+        multifuture_eval_trajs_prob,
+        multifuture_inference,
+    )
+
+    rng = workdir["rng"]
+    cfg = workdir["cfg"]
+    traj_path, mf_path, scene_path, id2name = write_multifuture_dataset(
+        workdir["root"], cfg, rng, num_traj=4, max_pred_len=8)
+
+    out_file = os.path.join(workdir["root"], "mf.traj.p")
+    prob_file = os.path.join(workdir["root"], "mf.prob.p")
+    model_path = os.path.join(trained, "toy", "01", "best")
+    multifuture_inference.main([
+        model_path, traj_path, mf_path, out_file,
+        "--save_prob_file", prob_file,
+        "--obs_length", "4",
+        "--num_out", "4", "--diverse_beam", "--diverse_gamma", "0.01",
+        "--fix_num_timestep", "1",
+        "--grid_strides", "2,4", "--use_grids", "1,0",
+        "--emb_size", "8", "--enc_hidden_size", "16",
+        "--dec_hidden_size", "16", "--scene_conv_dim", "8",
+        "--use_gnn", "--use_scene_enc",
+        "--scene_feat_path", scene_path,
+        "--scene_id2name", id2name,
+        "--scene_h", "12", "--scene_w", "16", "--scene_class", "5",
+        "--batch_size", "2", "--compute_dtype", "float32",
+    ])
+    assert os.path.exists(out_file) and os.path.exists(prob_file)
+
+    multifuture_eval_trajs.main([mf_path, out_file])
+    lines = capsys.readouterr().out.strip().splitlines()
+    vals = [float(x) for x in lines[-1].split()]
+    assert len(vals) == 6 and all(np.isfinite(vals))
+
+    multifuture_eval_trajs_prob.main([
+        mf_path, prob_file, "--scene_h", "6", "--scene_w", "8"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    vals = [float(x) for x in lines[-1].split()]
+    assert len(vals) == 5 and all(np.isfinite(vals))
