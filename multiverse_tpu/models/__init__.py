@@ -11,3 +11,11 @@ from multiverse_tpu.models.beam_search import (  # noqa: F401
     BeamOutputs,
     diverse_beam_search,
 )
+from multiverse_tpu.models.simaug import (  # noqa: F401
+    MultiviewBatch,
+    SimAugConfig,
+    make_simaug_train_step,
+    multiview_augmentation,
+    simaug_loss,
+    white_box_attack,
+)

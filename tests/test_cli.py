@@ -102,6 +102,26 @@ def test_test_cli(trained, prepro, workdir, capsys):
     assert "grid0_pred_traj" in data and "seq_ids" in data
 
 
+def test_train_simaug_cli(workdir, prepro):
+    from multiverse_tpu.cli import train_simaug
+
+    outbase = os.path.join(workdir["root"], "models_simaug")
+    train_simaug.main([
+        prepro, outbase, "simaug_toy", "--runId", "0",
+        "--batch_size", "4", "--num_epochs", "1",
+        "--save_period", "9", "--init_lr", "0.3",
+        "--multiview_train", "--multiview_exp", "3",
+        "--multiview_max_num", "2", "--adv_use_fgsm",
+        "--use_mixup", "--double_weighting",
+        *MODEL_FLAGS,
+    ])
+    outpath = os.path.join(outbase, "simaug_toy", "00")
+    assert os.path.exists(os.path.join(outpath, "val_perf.json"))
+    with open(os.path.join(outpath, "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["multiview_train"] is True
+
+
 def test_multifuture_pipeline(trained, workdir, capsys):
     from multiverse_tpu.cli import (
         multifuture_eval_trajs,
