@@ -1,0 +1,7 @@
+from multiverse_tpu.vis.trajs import (  # noqa: F401
+    heatmap_overlay,
+    plot_traj,
+    rasterize_polylines,
+    render_multifuture_frame,
+    render_output_frame,
+)
