@@ -1,0 +1,179 @@
+"""Data-preparation CLIs for the simulation toolkit and SimAug
+datasets.  One module, several console entry points:
+
+    mvt-prepare-multifuture   reference: forking_paths_dataset/code/
+                              get_prepared_data_multifuture.py
+    mvt-prepare-sdd           reference: SimAug/code/get_prepared_data_sdd.py
+    mvt-extract-scene-seg     reference: SimAug/code/extract_scene_seg.py
+    mvt-combine-traj          reference: forking_paths_dataset/code/
+                              combine_traj.py
+    mvt-gen-moments           reference: forking_paths_dataset/code/
+                              gen_moment_from_annotation.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _read_lst(path: str) -> list:
+    return [os.path.splitext(os.path.basename(line.strip()))[0]
+            for line in open(path) if line.strip()]
+
+
+def prepare_multifuture_main(argv=None) -> None:
+    from multiverse_tpu.forking_paths.prepared_data import (
+        prepare_multifuture_split,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("dataset_path")
+    parser.add_argument("split_path")
+    parser.add_argument("outpath_obs")
+    parser.add_argument("outpath_multifuture")
+    parser.add_argument("--obs_length", type=int, default=8)
+    args = parser.parse_args(argv)
+    for split in ("train", "val", "test"):
+        lst = os.path.join(args.split_path, "%s.lst" % split)
+        if not os.path.exists(lst):
+            continue
+        names = _read_lst(lst)
+        if not names:
+            continue
+        stats = prepare_multifuture_split(
+            args.dataset_path, names, args.outpath_obs,
+            args.outpath_multifuture, split,
+            obs_length=args.obs_length)
+        print("%s: %s" % (split, stats))
+
+
+def prepare_sdd_main(argv=None) -> None:
+    from multiverse_tpu.data.sdd import parse_changelst, prepare_sdd_split
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("annotation_path")
+    parser.add_argument("split_path")
+    parser.add_argument("changelst")
+    parser.add_argument("outpath")
+    args = parser.parse_args(argv)
+    changelst = parse_changelst(args.changelst)
+    counts = []
+    for split in ("train", "val", "test"):
+        lst = os.path.join(args.split_path, "%s.lst" % split)
+        if not os.path.exists(lst):
+            continue
+        counts += prepare_sdd_split(
+            args.annotation_path, _read_lst(lst), changelst,
+            args.outpath, split)
+    if counts:
+        import numpy as np
+
+        print("total %d videos, frames min/max/avg %d/%d/%.1f" % (
+            len(counts), min(counts), max(counts), np.mean(counts)))
+
+
+def extract_scene_seg_main(argv=None) -> None:
+    from multiverse_tpu.data.scene_extract import (
+        make_segformer_segmenter,
+        make_tf_deeplab_segmenter,
+        segment_images,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("imglst")
+    parser.add_argument("model_path",
+                        help="DeepLab frozen .pb or a SegFormer dir")
+    parser.add_argument("out_path")
+    parser.add_argument("--down_rate", type=float, default=8.0)
+    parser.add_argument("--keep_full", action="store_true")
+    parser.add_argument("--save_two_level", action="store_true")
+    parser.add_argument("--every", type=int, default=1)
+    parser.add_argument("--job", type=int, default=1)
+    parser.add_argument("--curJob", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    if args.model_path.endswith(".pb"):
+        segmenter = make_tf_deeplab_segmenter(args.model_path)
+    else:
+        segmenter = make_segformer_segmenter(args.model_path)
+    files = [line.strip() for line in open(args.imglst) if line.strip()]
+    written = segment_images(
+        files, segmenter, args.out_path,
+        down_rate=args.down_rate, keep_full=args.keep_full,
+        save_two_level=args.save_two_level, every=args.every,
+        job=args.job, cur_job=args.curJob)
+    print("wrote %d seg maps" % len(written))
+
+
+def combine_traj_main(argv=None) -> None:
+    from multiverse_tpu.forking_paths.moments import (
+        combine_split_trajectories,
+        load_homographies,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("split_path")
+    parser.add_argument("target_path")
+    parser.add_argument("frame_file")
+    parser.add_argument("--reverse_xy", action="store_true")
+    parser.add_argument("--is_actev", action="store_true")
+    parser.add_argument("--h_path", default=None)
+    parser.add_argument("--target_w_path", default=None)
+    args = parser.parse_args(argv)
+
+    hom = None
+    if args.is_actev:
+        hom = load_homographies(args.h_path)
+    trajs, world, frames = combine_split_trajectories(
+        args.split_path, reverse_xy=args.reverse_xy, homographies=hom)
+
+    def save(target, data):
+        os.makedirs(target, exist_ok=True)
+        for videoname, rows in data.items():
+            with open(os.path.join(
+                    target, "%s.txt" % videoname), "w") as f:
+                for fi, pid, x, y in rows:
+                    f.write("%.1f\t%.1f\t%.3f\t%.3f\n" % (fi, pid, x, y))
+
+    with open(args.frame_file, "w") as f:
+        json.dump(frames, f)
+    save(args.target_path, trajs)
+    if args.is_actev and args.target_w_path:
+        save(args.target_w_path, world)
+
+
+def gen_moments_main(argv=None) -> None:
+    from multiverse_tpu.forking_paths.moments import (
+        build_final_moments,
+        save_moment_json,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("moment_filelst")
+    parser.add_argument("annotation_jsonlst",
+                        help="lines of `filepath annotator_id`")
+    parser.add_argument("final_json")
+    parser.add_argument("--video_fps", type=float, default=30.0)
+    args = parser.parse_args(argv)
+
+    moment_data = []
+    for filename in open(args.moment_filelst):
+        with open(filename.strip()) as f:
+            moment_data += json.load(f)
+
+    annotations = {}
+    for line in open(args.annotation_jsonlst):
+        annotation_file, annotator_id = line.strip().split()
+        with open(annotation_file) as f:
+            for traj_key, anno in json.load(f).items():
+                key = (traj_key, annotator_id)
+                if key in annotations:
+                    raise ValueError("%s duplicated" % (key,))
+                annotations[key] = anno
+
+    moments = build_final_moments(
+        moment_data, annotations, video_fps=args.video_fps)
+    save_moment_json(moments, args.final_json)
+    print("wrote %d moments -> %s" % (len(moments), args.final_json))

@@ -1,0 +1,289 @@
+"""Moment records: real-world trajectories → simulation scenarios, and
+annotation merging.
+
+reference: forking_paths_dataset/code/combine_traj.py (pixel → world
+ground plane via per-scene homographies, with the 0002 resolution fix
+and the x-mirror), gen_moment_from_annotation.py (merge per-annotator
+control JSONs into final recordable moments), get_vehicle_traj.py
+(VIRAT YAML box annotations → vehicle trajectories).
+
+A *moment* JSON record is
+    {"scenename", "original_start_frame_id", "ped_controls",
+     "vehicle_controls", "x_agents", ...}
+with controls in the schema of
+:mod:`multiverse_tpu.forking_paths.controls`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from multiverse_tpu.forking_paths.controls import interpolate_controls
+
+ACTEV_SCENE2IMGSIZE = {
+    "0002": (1280.0, 720.0),
+    "0000": (1920.0, 1080.0),
+    "0400": (1920.0, 1080.0),
+    "0401": (1920.0, 1080.0),
+    "0500": (1920.0, 1080.0),
+}
+
+
+def get_scene(videoname: str) -> str:
+    """ActEV scene token (reference: combine_traj.py:34-39)."""
+    return videoname.split("_S_")[-1].split("_")[0][:4]
+
+
+def make_moment_id(scene: str, moment_idx: int, x_agent_pid: int,
+                   dest_idx: int, annotator_id: str) -> str:
+    """`scene_momentIdx_pid_destIdx_annotator` naming used throughout
+    the dataset (reference: utils.py `make_moment_id`)."""
+    return "%s_%s_%s_%s_%s" % (
+        scene, moment_idx, x_agent_pid, dest_idx, annotator_id)
+
+
+def pixel_to_world_ground(
+    xy: np.ndarray, homography: np.ndarray, scene: str,
+    mirror_x: bool = True,
+) -> np.ndarray:
+    """Image points [N, 2] → ground-plane world [N, 2].
+
+    Includes the 0002 resolution rescale (trajectories are stored in
+    1920×1080 but scene 0002's homography was calibrated at 1280×720)
+    and the ActEV x-mirror (reference: combine_traj.py:104-113).
+    """
+    xy = np.asarray(xy, np.float64).copy()
+    if scene == "0002":
+        w, h = ACTEV_SCENE2IMGSIZE[scene]
+        xy[:, 0] *= w / 1920.0
+        xy[:, 1] *= h / 1080.0
+    hom = np.concatenate([xy, np.ones((len(xy), 1))], axis=1)
+    world = (homography @ hom.T).T                      # [N, 3]
+    out = world[:, :2] / world[:, 2:3]
+    if mirror_x:
+        out[:, 0] = -out[:, 0]
+    return out
+
+
+def load_homographies(h_path: str) -> Dict[str, np.ndarray]:
+    """Per-scene comma-separated 3×3 matrices
+    (reference: combine_traj.py:64-75)."""
+    import glob
+
+    out = {}
+    for h_file in glob.glob(os.path.join(h_path, "*.txt")):
+        scene = os.path.splitext(os.path.basename(h_file))[0]
+        rows = [line.strip().split(",") for line in open(h_file)]
+        out[scene] = np.asarray(rows, np.float64)
+    return out
+
+
+def combine_split_trajectories(
+    split_path: str,
+    reverse_xy: bool = False,
+    homographies: Optional[Dict[str, np.ndarray]] = None,
+) -> Tuple[Dict[str, list], Dict[str, list], Dict[str, list]]:
+    """Merge per-split trajectory TSVs back per video; optionally also
+    produce world-plane trajectories (reference: combine_traj.py main).
+
+    Returns (per-video pixel rows, per-video world rows, per-video
+    sorted frame ids)."""
+    import glob
+
+    all_trajs: Dict[str, list] = {}
+    all_world: Dict[str, list] = {}
+    all_frames: Dict[str, dict] = {}
+    for split in ("train", "val", "test"):
+        for traj_file in glob.glob(
+                os.path.join(split_path, split, "*.txt")):
+            videoname = os.path.splitext(os.path.basename(traj_file))[0]
+            rows = []
+            for line in open(traj_file):
+                parts = line.strip().split("\t")
+                if reverse_xy:
+                    fi, pid, y, x = parts
+                else:
+                    fi, pid, x, y = parts
+                rows.append([float(fi), float(pid), float(x), float(y)])
+            all_trajs.setdefault(videoname, []).extend(rows)
+            all_frames.setdefault(videoname, {}).update(
+                {r[0]: 1 for r in rows})
+            if homographies is not None:
+                scene = get_scene(videoname)
+                world = pixel_to_world_ground(
+                    np.asarray(rows, np.float64)[:, 2:],
+                    homographies[scene], scene)
+                all_world.setdefault(videoname, []).extend(
+                    [[r[0], r[1], w[0], w[1]]
+                     for r, w in zip(rows, world)])
+    for videoname in all_trajs:
+        all_trajs[videoname].sort(key=lambda r: r[0])
+    for videoname in all_world:
+        all_world[videoname].sort(key=lambda r: r[0])
+    frames = {v: sorted(d) for v, d in all_frames.items()}
+    return all_trajs, all_world, frames
+
+
+# ------------------------------------------------- annotation merging
+
+
+def merge_annotation_into_moment(
+    moment: dict,
+    annotation: List[list],
+    x_agent_pid: int,
+    video_fps: float,
+) -> dict:
+    """Replace the x-agent's future controls with a human annotation.
+
+    reference: gen_moment_from_annotation.py:70-155 — controls before
+    the annotation's first frame are kept verbatim; from there on the
+    x-agent's records are replaced by the annotated
+    (direction, speed, location) samples while other agents' records
+    are preserved; everything past the annotation's last frame is
+    dropped; vehicle controls are interpolated to video fps and
+    truncated to the same horizon.
+
+    Args:
+        annotation: [[frame_id, direction_xyz, speed, location_xyz]].
+    Returns a new moment dict (the input is not mutated).
+    """
+    anno_by_frame = {
+        int(frame_id): (direction, speed, location)
+        for frame_id, direction, speed, location in annotation
+    }
+    first_f = int(annotation[0][0])
+    last_f = int(annotation[-1][0])
+
+    ped_controls = {
+        int(float(k)): v for k, v in moment["ped_controls"].items()}
+    new_ped: Dict[int, list] = {}
+    for frame_id in range(0, last_f + 1):
+        if frame_id < first_f:
+            if frame_id in ped_controls:
+                new_ped[frame_id] = ped_controls[frame_id]
+            continue
+        records = [rec for rec in ped_controls.get(frame_id, [])
+                   if rec[0] != x_agent_pid]
+        if frame_id in anno_by_frame:
+            direction, speed, location = anno_by_frame[frame_id]
+            records.append([x_agent_pid, -1, location, direction, speed,
+                            1.0 / video_fps, False])
+        if records:
+            new_ped[frame_id] = records
+
+    vehicle = interpolate_controls(
+        moment.get("vehicle_controls", {}), video_fps)
+    new_vehicle = {
+        int(k): v for k, v in vehicle.items() if int(k) <= last_f}
+
+    out = dict(moment)
+    out["ped_controls"] = {str(k): v for k, v in new_ped.items()}
+    out["vehicle_controls"] = {str(k): v for k, v in new_vehicle.items()}
+    return out
+
+
+def build_final_moments(
+    moment_data: List[dict],
+    annotations: Dict[Tuple[str, str], list],
+    video_fps: float = 30.0,
+) -> List[dict]:
+    """All (traj_key, annotator) annotations → final recordable moments
+    (reference: gen_moment_from_annotation.py main loop).
+
+    traj_key format: `scene_momentIdx_xAgentPid_destIdx`."""
+    keyed = sorted(
+        annotations.items(),
+        key=lambda kv: int(kv[0][0].split("_")[1]))
+    out = []
+    for (traj_key, annotator_id), annotation in keyed:
+        _, moment_idx, x_agent_pid, dest_idx = traj_key.split("_")
+        moment = moment_data[int(moment_idx)]
+        scene = moment["scenename"]
+        merged = merge_annotation_into_moment(
+            moment, annotation, int(x_agent_pid), video_fps)
+        merged["moment_id"] = make_moment_id(
+            scene, int(moment_idx), int(x_agent_pid), int(dest_idx),
+            annotator_id)
+        out.append(merged)
+    return out
+
+
+# ------------------------------------------------- VIRAT vehicle trajs
+
+
+def load_virat_yaml(yml_file: str) -> list:
+    """ActEV YAML minus the meta prefix
+    (reference: get_vehicle_traj.py:37-49)."""
+    import yaml
+
+    with open(yml_file) as f:
+        data = yaml.load(f, Loader=yaml.FullLoader)
+    for i, item in enumerate(data):
+        if "meta" not in item:
+            return data[i:]
+    raise ValueError("no non-meta entries in %s" % yml_file)
+
+
+def load_virat_types(track_file: str,
+                     only: Optional[str] = None) -> Dict[int, str]:
+    """Track id → object type (reference: get_vehicle_traj.py:52-67)."""
+    out: Dict[int, str] = {}
+    for item in load_virat_yaml(track_file):
+        t = item["types"]
+        obj = t.get("obj_type") or list(t["cset3"].keys())[0]
+        if only is not None and obj != only:
+            continue
+        out[int(t["id1"])] = obj
+    return out
+
+
+def load_virat_boxes(box_file: str,
+                     imgsize: Tuple[float, float]) -> list:
+    """(track_id, frame_idx, [x1, y1, x2, y2]) rows, clipped to frame
+    (reference: get_vehicle_traj.py:70-90)."""
+    w, h = imgsize
+    out = []
+    for item in load_virat_yaml(box_file):
+        g = item["geom"]
+        bbox = [float(a) for a in g["g0"].split()]
+        bbox = [min(max(bbox[0], 0.0), w), min(max(bbox[1], 0.0), h),
+                min(max(bbox[2], 0.0), w), min(max(bbox[3], 0.0), h)]
+        out.append((int(g["id1"]), int(g["ts0"]), bbox))
+    return out
+
+
+def vehicle_world_trajectories(
+    box_rows: list,
+    vehicle_ids: Iterable[int],
+    homography: np.ndarray,
+    scene: str,
+    frame_ids: Optional[Iterable[int]] = None,
+) -> Dict[int, list]:
+    """Vehicle boxes → ground-plane trajectories: bottom-center point
+    through the scene homography (reference: get_vehicle_traj.py main).
+    Returns {track_id: [[frame, x_w, y_w], ...]}."""
+    wanted = set(vehicle_ids)
+    frames = None if frame_ids is None else set(frame_ids)
+    out: Dict[int, list] = {}
+    for tid, frame_idx, (x1, y1, x2, y2) in box_rows:
+        if tid not in wanted:
+            continue
+        if frames is not None and frame_idx not in frames:
+            continue
+        feet = np.asarray([[(x1 + x2) / 2.0, y2]])
+        wxy = pixel_to_world_ground(feet, homography, scene)[0]
+        out.setdefault(tid, []).append(
+            [frame_idx, float(wxy[0]), float(wxy[1])])
+    for tid in out:
+        out[tid].sort(key=lambda r: r[0])
+    return out
+
+
+def save_moment_json(moments: List[dict], path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(moments, f)

@@ -1,0 +1,169 @@
+"""SDD / scene-seg-extraction / Argoverse preparation modules."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multiverse_tpu.data.argoverse import (
+    ArgoverseCamera,
+    crop_box_to_1080,
+    cuboid_corners,
+    cuboid_to_2d_box,
+    quat_wxyz_to_rotmat,
+    se3,
+)
+from multiverse_tpu.data.scene_extract import resize_seg_map, segment_images
+from multiverse_tpu.data.sdd import (
+    bbox_center,
+    convert_sdd_bbox,
+    parse_changelst,
+    prepare_sdd_split,
+)
+
+
+# ------------------------------------------------------------------ SDD
+
+
+def test_parse_changelst(tmp_path):
+    p = tmp_path / "c.lst"
+    p.write_text("scene_video0,1000x2000,True\nscene_video1,1920x1080,False\n")
+    ch = parse_changelst(str(p))
+    assert ch["scene_video0"] == (2000, 1000, True)   # swapped
+    assert ch["scene_video1"] == (1920, 1080, False)
+
+
+def test_convert_sdd_bbox_landscape():
+    change = {"v": (960, 540, False)}
+    out = convert_sdd_bbox([96, 54, 192, 108], change["v"])
+    np.testing.assert_allclose(out, [192.0, 108.0, 384.0, 216.0])
+
+
+def test_convert_sdd_bbox_rotated():
+    # original portrait 540x960, recorded as (w=960, h=540, rotated)
+    change = (960, 540, True)
+    x1, y1, x2, y2 = convert_sdd_bbox([100, 200, 150, 260], change)
+    # rotation: (x', y') = (w - y, x); then scale 2x both axes
+    assert x1 == pytest.approx((960 - 200) * 2)
+    assert y1 == pytest.approx(100 * 2)
+    assert x2 == pytest.approx((960 - 260) * 2)
+    assert y2 == pytest.approx(150 * 2)
+
+
+def test_prepare_sdd_split(tmp_path):
+    anno_dir = tmp_path / "annos" / "deathCircle" / "video0"
+    os.makedirs(anno_dir)
+    lines = []
+    for f in range(0, 30 * 12, 1):
+        lines.append('7 %d %d %d %d %d 0 0 0 "Pedestrian"' % (
+            10 + f // 10, 20, 40 + f // 10, 60, f))
+        lines.append('9 %d %d %d %d %d 0 0 0 "Biker"' % (
+            200, 100, 240, 160, f))
+    (anno_dir / "annotations.txt").write_text("\n".join(lines))
+    changelst = {"deathCircle_video0": (1920, 1080, False)}
+    counts = prepare_sdd_split(
+        str(tmp_path / "annos"), ["deathCircle_video0"], changelst,
+        str(tmp_path / "out"), "train", )
+    assert counts == [30]
+    rows = np.loadtxt(
+        tmp_path / "out" / "traj_2.5fps" / "train" /
+        "deathCircle_video0.txt", delimiter="\t")
+    assert rows.shape[0] == 30           # pedestrian only
+    assert (rows[:, 1] == 7.0).all()
+    assert rows[0, 2] == pytest.approx(bbox_center([10, 20, 40, 60])[0])
+
+
+# ---------------------------------------------------------- scene seg
+
+
+def test_resize_seg_map():
+    seg = np.arange(64 * 64).reshape(64, 64) % 7
+    small = resize_seg_map(seg, down_rate=2.0)
+    assert small.shape == (32, 32)
+    full = resize_seg_map(seg, 8.0, keep_full=True)
+    assert full.shape == (288, 512)
+
+
+def test_segment_images_with_fake_backend(tmp_path):
+    import cv2
+
+    img_files = []
+    for i in range(4):
+        p = str(tmp_path / ("video1_F_%08d.jpg" % i))
+        cv2.imwrite(p, np.zeros((36, 64, 3), np.uint8))
+        img_files.append(p)
+
+    def fake_segmenter(img):
+        return np.full(img.shape[:2], 5, np.uint8)
+
+    written = segment_images(
+        img_files, fake_segmenter, str(tmp_path / "seg"),
+        down_rate=2.0, save_two_level=True)
+    assert len(written) == 4
+    arr = np.load(written[0])
+    assert arr.shape == (18, 32) and (arr == 5).all()
+    assert "video1" in os.path.dirname(written[0])
+    # job sharding covers disjoint subsets
+    w1 = segment_images(img_files, fake_segmenter,
+                        str(tmp_path / "seg2"), job=2, cur_job=1)
+    w2 = segment_images(img_files, fake_segmenter,
+                        str(tmp_path / "seg2"), job=2, cur_job=2)
+    assert len(w1) + len(w2) == 4
+
+
+# ----------------------------------------------------------- argoverse
+
+
+def test_quat_identity():
+    np.testing.assert_allclose(
+        quat_wxyz_to_rotmat([1.0, 0.0, 0.0, 0.0]), np.eye(3), atol=1e-12)
+
+
+def test_cuboid_corners_axis_aligned():
+    label = {
+        "center": {"x": 10.0, "y": 0.0, "z": 1.0},
+        "rotation": {"w": 1.0, "x": 0.0, "y": 0.0, "z": 0.0},
+        "length": 2.0, "width": 1.0, "height": 2.0,
+    }
+    corners = cuboid_corners(label)
+    assert corners.shape == (8, 3)
+    np.testing.assert_allclose(corners[:, 0].max(), 11.0)
+    np.testing.assert_allclose(corners[:, 2].min(), 0.0)
+
+
+def _front_camera():
+    # ego->camera rotation: cam x = -ego y, cam y = -ego z, cam z = ego x
+    rot_ego_to_cam = np.array([
+        [0.0, -1.0, 0.0],
+        [0.0, 0.0, -1.0],
+        [1.0, 0.0, 0.0],
+    ])
+    extrinsic = se3(rot_ego_to_cam, np.zeros(3))
+    k = np.zeros((3, 4))
+    k[0, 0] = k[1, 1] = 1000.0
+    k[0, 2], k[1, 2] = 960.0, 600.0
+    k[2, 2] = 1.0
+    return ArgoverseCamera(extrinsic=extrinsic, intrinsic=k)
+
+
+def test_cuboid_to_2d_box_front():
+    cam = _front_camera()
+    label = {
+        "center": {"x": 20.0, "y": 0.0, "z": 0.0},
+        "rotation": {"w": 1.0, "x": 0.0, "y": 0.0, "z": 0.0},
+        "length": 1.0, "width": 1.0, "height": 1.8,
+    }
+    box = cuboid_to_2d_box(label, cam)
+    assert box is not None
+    x1, y1, x2, y2 = box
+    assert 800 < x1 < 960 < x2 < 1100
+    assert y1 < 600 < y2
+    # behind the camera
+    label["center"]["x"] = -20.0
+    assert cuboid_to_2d_box(label, cam) is None
+
+
+def test_crop_box_to_1080():
+    assert crop_box_to_1080([0.0, 60.0, 100.0, 1200.0]) == \
+        [0.0, 0.0, 100.0, 1080.0]
+    assert crop_box_to_1080([0.0, 0.0, 100.0, 50.0]) is None

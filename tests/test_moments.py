@@ -1,0 +1,115 @@
+"""Moment building: homography transforms, annotation merging, YAML."""
+
+import numpy as np
+import pytest
+
+from multiverse_tpu.forking_paths.controls import traj_to_controls
+from multiverse_tpu.forking_paths.moments import (
+    build_final_moments,
+    get_scene,
+    make_moment_id,
+    merge_annotation_into_moment,
+    pixel_to_world_ground,
+    vehicle_world_trajectories,
+)
+
+
+def test_get_scene_and_moment_id():
+    assert get_scene("VIRAT_S_000201_00_000018_000380") == "0002"
+    assert make_moment_id("0400", 3, 7, 1, "a9") == "0400_3_7_1_a9"
+
+
+def test_pixel_to_world_identity_homography():
+    h = np.eye(3)
+    out = pixel_to_world_ground(
+        np.array([[10.0, 20.0]]), h, scene="0000")
+    # x is mirrored for ActEV (reference: combine_traj.py:110-112)
+    np.testing.assert_allclose(out, [[-10.0, 20.0]])
+
+
+def test_pixel_to_world_0002_rescale():
+    h = np.eye(3)
+    out = pixel_to_world_ground(
+        np.array([[1920.0, 1080.0]]), h, scene="0002")
+    np.testing.assert_allclose(out, [[-1280.0, 720.0]])
+
+
+def test_pixel_to_world_projective():
+    # a real projective transform: scale 2 + perspective divide
+    h = np.array([[2.0, 0.0, 0.0], [0.0, 2.0, 0.0], [0.0, 0.0, 2.0]])
+    out = pixel_to_world_ground(
+        np.array([[5.0, 7.0]]), h, scene="0000", mirror_x=False)
+    np.testing.assert_allclose(out, [[5.0, 7.0]])
+
+
+def _moment():
+    rows = np.asarray([
+        [0.0, 1.0, 0.0, 0.0, 0.5],   # x-agent
+        [10.0, 1.0, 1.0, 0.0, 0.5],
+        [20.0, 1.0, 2.0, 0.0, 0.5],
+        [0.0, 2.0, 5.0, 5.0, 0.5],   # bystander
+        [10.0, 2.0, 5.5, 5.0, 0.5],
+        [20.0, 2.0, 6.0, 5.0, 0.5],
+    ])
+    ped, _ = traj_to_controls(rows, -1, -1, fps=30.0)
+    veh_rows = np.asarray([
+        [0.0, 9.0, 20.0, 0.0, 0.0],
+        [10.0, 9.0, 25.0, 0.0, 0.0],
+    ])
+    veh, _ = traj_to_controls(veh_rows, -1, -1, fps=30.0, z_to=0.0)
+    return {
+        "scenename": "0400",
+        "ped_controls": ped,
+        "vehicle_controls": veh,
+        "x_agents": [1],
+    }
+
+
+def test_merge_annotation_replaces_x_agent():
+    moment = _moment()
+    annotation = [
+        [10, [0.0, 1.0, 0.0], 2.0, [1.0, 0.0, 0.5]],
+        [15, [0.0, 1.0, 0.0], 2.0, [1.0, 0.4, 0.5]],
+    ]
+    merged = merge_annotation_into_moment(
+        moment, annotation, x_agent_pid=1, video_fps=30.0)
+    # frame 0 (before annotation) keeps the original records
+    f0 = merged["ped_controls"]["0"]
+    assert any(r[0] == 1.0 for r in f0) and any(r[0] == 2.0 for r in f0)
+    # frame 10 has the annotated x-agent record, not the original
+    f10 = merged["ped_controls"]["10"]
+    x_rec = [r for r in f10 if r[0] == 1][0]
+    assert x_rec[4] == 2.0 and x_rec[3] == [0.0, 1.0, 0.0]
+    # nothing beyond the annotation horizon
+    assert all(int(k) <= 15 for k in merged["ped_controls"])
+    assert all(int(k) <= 15 for k in merged["vehicle_controls"])
+    # vehicle controls were interpolated to dense frames
+    assert "3" in merged["vehicle_controls"]
+    # input not mutated
+    assert "10" in moment["ped_controls"]
+
+
+def test_build_final_moments():
+    moment = _moment()
+    annotations = {
+        ("0400_0_1_0", "annoA"): [
+            [10, [0.0, 1.0, 0.0], 2.0, [1.0, 0.0, 0.5]],
+            [15, [0.0, 1.0, 0.0], 2.0, [1.0, 0.4, 0.5]],
+        ],
+    }
+    out = build_final_moments([moment], annotations, video_fps=30.0)
+    assert len(out) == 1
+    assert out[0]["moment_id"] == "0400_0_1_0_annoA"
+
+
+def test_vehicle_world_trajectories():
+    rows = [
+        (3, 0, [100.0, 100.0, 200.0, 180.0]),
+        (3, 12, [110.0, 100.0, 210.0, 180.0]),
+        (5, 0, [0.0, 0.0, 10.0, 10.0]),      # not a vehicle
+    ]
+    out = vehicle_world_trajectories(
+        rows, vehicle_ids=[3], homography=np.eye(3), scene="0000")
+    assert list(out) == [3]
+    np.testing.assert_allclose(out[3][0], [0, -150.0, 180.0])
+    np.testing.assert_allclose(out[3][1], [12, -160.0, 180.0])

@@ -1,0 +1,106 @@
+"""Simulation command planner + scene registry (no CARLA needed)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from multiverse_tpu.forking_paths.controls import traj_to_controls
+from multiverse_tpu.forking_paths.scenes import (
+    load_scene_registry,
+    scene_registry_schema,
+)
+from multiverse_tpu.forking_paths.sim import (
+    SimState,
+    plan_frame,
+    smoothed_yaw,
+)
+
+
+def _controls():
+    rows = np.asarray([
+        [0.0, 1.0, 0.0, 0.0, 0.5],
+        [1.0, 1.0, 1.0, 0.0, 0.5],
+        [2.0, 1.0, 2.0, 0.0, 0.5],
+    ])
+    controls, _ = traj_to_controls(rows, -1, -1, fps=25.0)
+    return controls
+
+
+def test_plan_spawn_control_destroy():
+    controls = _controls()
+    state = SimState()
+    cmds0 = plan_frame(0, controls, {}, state)
+    kinds = [c.kind for c in cmds0]
+    assert kinds == ["spawn_walker", "walker_control"]
+    assert cmds0[1].speed > 0
+    assert 1.0 in state.peds
+
+    cmds1 = plan_frame(1, controls, {}, state)
+    assert [c.kind for c in cmds1] == ["walker_control"]
+
+    cmds2 = plan_frame(2, controls, {}, state)
+    assert [c.kind for c in cmds2] == ["destroy_walker"]
+    assert 1.0 not in state.peds
+
+
+def test_stationary_walker_gets_zero_control():
+    rows = np.asarray([
+        [0.0, 1.0, 0.0, 0.0, 0.5],
+        [1.0, 1.0, 0.001, 0.0, 0.5],
+        [60.0, 1.0, 0.002, 0.0, 0.5],
+    ])
+    controls, _ = traj_to_controls(rows, -1, -1, fps=25.0)
+    state = SimState()
+    cmds = plan_frame(0, controls, {}, state)
+    ctrl = [c for c in cmds if c.kind == "walker_control"][0]
+    assert ctrl.speed == 0.0 and ctrl.direction == (0.0, 0.0, 0.0)
+
+
+def test_excepts_skips_actor():
+    controls = _controls()
+    state = SimState()
+    cmds = plan_frame(0, controls, {}, state, excepts=(1.0,))
+    assert cmds == []
+
+
+def test_vehicle_yaw_smoothing():
+    state = SimState()
+    state.note_vehicle(7.0, (1.0, 0.0))
+    # first yaw establishes the baseline
+    y0 = smoothed_yaw(state, 7.0, (1.0, 0.0, 0.0), max_yaw_change=60)
+    assert y0 == pytest.approx(0.0)
+    # 30° change allowed
+    y1 = smoothed_yaw(
+        state, 7.0, (np.cos(np.radians(30)), np.sin(np.radians(30)), 0.0),
+        max_yaw_change=60)
+    assert y1 == pytest.approx(30.0)
+    # 170° jump clamped to previous
+    y2 = smoothed_yaw(state, 7.0, (-1.0, 0.02, 0.0), max_yaw_change=60)
+    assert y2 == pytest.approx(y1)
+
+
+def test_vehicle_plan_teleports():
+    rows = np.asarray([
+        [0.0, 9.0, 0.0, 0.0, 0.0],
+        [1.0, 9.0, 1.0, 1.0, 0.0],
+        [2.0, 9.0, 2.0, 2.0, 0.0],
+    ])
+    controls, _ = traj_to_controls(rows, -1, -1, fps=25.0, z_to=0.0)
+    state = SimState()
+    cmds = plan_frame(0, {}, controls, state)
+    kinds = [c.kind for c in cmds]
+    assert kinds == ["spawn_vehicle", "vehicle_teleport"]
+    assert cmds[1].yaw == pytest.approx(45.0)
+
+
+def test_scene_registry_roundtrip(tmp_path):
+    path = tmp_path / "registry.json"
+    path.write_text(json.dumps(scene_registry_schema()))
+    reg = load_scene_registry(str(path))
+    assert "zara01" in reg.scenes
+    sc = reg.scenes["zara01"]
+    assert sc.fps == 25.0 and sc.map == "Town03_ethucy"
+    rigs = reg.recording_cameras("zara01")
+    assert len(rigs) == 1
+    assert rigs[0].intrinsic.shape == (3, 3)
