@@ -207,6 +207,39 @@ def resize_rotate_video(
     return "%dx%d" % (w, h), rotated
 
 
+def write_sdd_fold_splits(
+    video_ids: List[str],
+    split_path: str,
+    n_fold: int = 5,
+    seed: Optional[int] = 2020,
+) -> None:
+    """n-fold cross-validation split lists: per fold, one fold tests,
+    one validates, the rest train (reference:
+    SimAug/code/get_sdd_splits.py — seeded here for reproducibility
+    where the reference shuffles unseeded)."""
+    videos = list(video_ids)
+    rng = np.random.RandomState(seed)
+    rng.shuffle(videos)
+    folds = [videos[i::n_fold] for i in range(n_fold)]
+
+    for i, test_fold in enumerate(folds):
+        target = os.path.join(split_path, "fold_%d" % (i + 1))
+        os.makedirs(target, exist_ok=True)
+        val_fold: List[str] = []
+        train_fold: List[str] = []
+        for j in range(n_fold):
+            if j == i:
+                continue
+            if not val_fold:
+                val_fold = folds[j]
+            else:
+                train_fold += folds[j]
+        for name, fold in (("test", test_fold), ("val", val_fold),
+                           ("train", train_fold)):
+            with open(os.path.join(target, "%s.lst" % name), "w") as f:
+                f.write("\n".join(fold) + ("\n" if fold else ""))
+
+
 def extract_needed_frames(
     video_file: str,
     frame_idxs: List[int],

@@ -256,8 +256,12 @@ def decode_seg_video(
     out_h: int = 36,
     out_w: int = 64,
 ) -> Dict[int, np.ndarray]:
-    """Seg MP4 → {frame_idx: [out_h, out_w] ADE20k class map}
-    (reference: get_frames_and_scene_seg.py:130-226)."""
+    """Seg MP4 → {frame_idx: [out_h, out_w] ADE20k class map}.
+
+    Matches the reference's order of operations — nearest-neighbor
+    resize to the grid size *first*, then palette match, then the
+    CARLA→ADE20k remap (reference:
+    get_frames_and_scene_seg.py:195-222)."""
     import cv2
 
     wanted = set(frame_idxs)
@@ -271,13 +275,121 @@ def decode_seg_video(
         if not ok:
             break
         if idx in wanted:
-            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            ids = seg_rgb_to_carla_ids(rgb)
-            ade = carla_ids_to_ade20k(ids)
-            out[idx] = resize_nearest(ade, out_h, out_w)
+            small = cv2.resize(frame, (out_w, out_h),
+                               interpolation=cv2.INTER_NEAREST)
+            rgb = cv2.cvtColor(small, cv2.COLOR_BGR2RGB)
+            out[idx] = carla_ids_to_ade20k(seg_rgb_to_carla_ids(rgb))
         idx += 1
     vcap.release()
     return out
+
+
+def extract_frames_and_seg(
+    rgb_video: str,
+    seg_video: str,
+    frame_idxs: List[int],
+    out_frame_path: str,
+    out_seg_path: str,
+    videoname: str,
+    start: int = 0,
+    scene_h: int = 36,
+    scene_w: int = 64,
+) -> bool:
+    """Extract the needed RGB frames + decoded seg npys for one video;
+    returns False when the rgb/seg/trajectory frame counts disagree —
+    callers collect those into `bad_video.lst`, which the workflow
+    deletes (reference: get_frames_and_scene_seg.py:130-241)."""
+    import cv2
+
+    os.makedirs(out_frame_path, exist_ok=True)
+    os.makedirs(out_seg_path, exist_ok=True)
+    wanted = set(frame_idxs)
+
+    got_rgb = 0
+    vcap = cv2.VideoCapture(rgb_video)
+    idx = 0
+    while True:
+        ok, frame = vcap.read()
+        if not ok:
+            break
+        if idx in wanted:
+            cv2.imwrite(os.path.join(
+                out_frame_path,
+                "%s_F_%08d.jpg" % (videoname, idx - start)), frame)
+            got_rgb += 1
+        idx += 1
+    vcap.release()
+
+    segs = decode_seg_video(seg_video, sorted(wanted),
+                            out_h=scene_h, out_w=scene_w)
+    for fidx, seg in segs.items():
+        np.save(os.path.join(
+            out_seg_path,
+            "%s_F_%08d.npy" % (videoname, fidx - start)), seg)
+
+    return got_rgb == len(segs) == len(wanted)
+
+
+def prepare_anchor_split(
+    dataset_path: str,
+    videonames: List[str],
+    outpath: str,
+    split: str,
+    drop_frame: int = DROP_FRAME["virat"],
+    min_frames: int = 20,
+) -> List[int]:
+    """Anchor (single-future) videos → TSVs + box pickles over ALL
+    sampled frames — no obs/pred split, no rebasing
+    (reference: forking_paths_dataset/code/get_prepared_data.py).
+    Returns per-video needed-frame counts."""
+    traj_path = os.path.join(outpath, "traj_2.5fps", split)
+    person_box_path = os.path.join(outpath, "anno_person_box", split)
+    other_box_path = os.path.join(outpath, "anno_other_box", split)
+    for p in (traj_path, person_box_path, other_box_path):
+        os.makedirs(p, exist_ok=True)
+
+    counts = []
+    for videoname in videonames:
+        frame_data = load_frame_data(
+            os.path.join(dataset_path, "bbox", "%s.json" % videoname))
+        needed = sorted(frame_data)[::drop_frame]
+        if len(needed) < min_frames:
+            print("warning: %s too short, skipped" % videoname)
+            continue
+
+        traj_rows: list = []
+        person_boxes: dict = {}
+        other_boxes: dict = {}
+        for frame_idx in needed:
+            box_list = sorted(frame_data[frame_idx],
+                              key=lambda b: b["track_id"])
+            for i, box in enumerate(box_list):
+                if box["class_name"] != "Person":
+                    continue
+                bbox = convert_bbox(box["bbox"])
+                x, y = get_feet(bbox)
+                traj_rows.append(
+                    (frame_idx, float(box["track_id"]), x, y))
+                key = "%d_%d" % (frame_idx, box["track_id"])
+                person_boxes[key] = bbox
+                other_boxes[key] = (
+                    [convert_bbox(b["bbox"])
+                     for j, b in enumerate(box_list) if j != i],
+                    [CLASS2CLASSID[b["class_name"]]
+                     for j, b in enumerate(box_list) if j != i],
+                )
+        counts.append(len(needed))
+        with open(os.path.join(
+                traj_path, "%s.txt" % videoname), "w") as f:
+            for fi, p, x, y in traj_rows:
+                f.write("%d\t%.1f\t%.6f\t%.6f\n" % (fi, p, x, y))
+        with open(os.path.join(
+                person_box_path, "%s.p" % videoname), "wb") as f:
+            pickle.dump(person_boxes, f)
+        with open(os.path.join(
+                other_box_path, "%s.p" % videoname), "wb") as f:
+            pickle.dump(other_boxes, f)
+    return counts
 
 
 # ------------------------------------------------------------- splits

@@ -127,6 +127,56 @@ def exp_mask(val: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return val + (1.0 - mask.astype(val.dtype)) * -1e30
 
 
+def softsel(target: jnp.ndarray, logits: jnp.ndarray,
+            use_sigmoid: bool = False) -> jnp.ndarray:
+    """Soft selection: weight `target`'s second-to-last axis by
+    softmax/sigmoid of `logits` and sum it out
+    (reference: code/pred_models.py:1376-1396).
+
+    target: [..., M, d]; logits: [..., M] → [..., d]."""
+    weights = (jax.nn.sigmoid(logits) if use_sigmoid
+               else jax.nn.softmax(logits, axis=-1))
+    return jnp.sum(target * weights[..., None], axis=-2)
+
+
+def focal_attention(query: jnp.ndarray, context: jnp.ndarray,
+                    use_sigmoid: bool = False) -> jnp.ndarray:
+    """Two-level focal attention (Liang et al., CVPR'19).
+
+    Cosine-similarity variant of reference:
+    code/pred_models.py:1451-1497 (dead code in the reference model but
+    part of its layer inventory): per-channel per-timestep similarity
+    to the query, attend over time within each channel, then over
+    channels by each channel's max similarity.
+
+    query: [N, d]; context: [N, K, T, d] → [N, d]."""
+
+    def l2n(x):
+        s = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(jnp.maximum(s, 1e-12))
+
+    sim = jnp.sum(
+        l2n(query)[:, None, None, :] * l2n(context), axis=-1)  # [N,K,T]
+    sim_max = jnp.max(sim, axis=2)                             # [N,K]
+    per_channel = softsel(context, sim, use_sigmoid)           # [N,K,d]
+    return softsel(per_channel, sim_max, use_sigmoid)          # [N,d]
+
+
+def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over NHWC (reference: code/pred_models.py:1511-1633
+    keeps GN'd ResNet helpers from the author's detection repo; only
+    the normalization itself is a live concept here — the `--use_gn`
+    flag)."""
+    n, h, w, c = x.shape
+    g = min(num_groups, c)
+    xg = x.reshape(n, h, w, g, c // g)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    return xg.reshape(n, h, w, c) * scale + bias
+
+
 def l2_weight_decay(params, wd: float) -> jnp.ndarray:
     """0.5 * wd * Σ‖w‖² over every leaf named ``w``.
 
