@@ -42,8 +42,7 @@ from multiverse_tpu.ops import (
     ConvLSTMState,
     conv2d,
     convlstm_step,
-    gnn_neighbor_mask,
-    gnn_step,
+    gnn_step_neighbors,
 )
 from multiverse_tpu.ops.layers import get_activation
 
@@ -101,7 +100,6 @@ def diverse_beam_search(
     D = init_state.h.shape[-1]
     act = get_activation(cfg.activation)
     use_gnn = cfg.use_gnn
-    mask = jnp.asarray(gnn_neighbor_mask(h, w)) if use_gnn else None
 
     emb_p = scale_params["dec_class_emb"]
     cell_p = scale_params["dec_class"]
@@ -126,7 +124,10 @@ def diverse_beam_search(
         # --- GNN residual on hidden, then embed + cell (beams folded)
         hh = _fold(state.h)
         if use_gnn:
-            hh = hh + gnn_step(hh, mask, scene_nk, compute_dtype=compute_dtype)
+            # exact 9-neighbor reformulation of the masked dense
+            # attention (see ops/gnn.py)
+            hh = hh + gnn_step_neighbors(hh, scene_nk,
+                                         compute_dtype=compute_dtype)
         emb = conv2d(emb_p, _fold(x), activation=act,
                      compute_dtype=compute_dtype)
         out, new_state_f = convlstm_step(

@@ -44,8 +44,7 @@ from multiverse_tpu.ops import (
     convlstm_init,
     convlstm_scan,
     convlstm_step,
-    gnn_neighbor_mask,
-    gnn_step,
+    gnn_step_neighbors,
     init_conv,
 )
 from multiverse_tpu.ops.layers import get_activation, l2_weight_decay
@@ -195,10 +194,6 @@ def greedy_decode(
     Returns (readouts [N, T, h, w, P], hidden states [N, T, h, w, D]).
     """
     act = get_activation(cfg.activation)
-    h, w = first_input.shape[1], first_input.shape[2]
-    mask = None
-    if use_gnn:
-        mask = jnp.asarray(gnn_neighbor_mask(h, w))
 
     emb_p = scale_params[emb_name]
     cell_p = scale_params[cell_name]
@@ -207,8 +202,10 @@ def greedy_decode(
     def step(carry, t):
         state, x = carry
         if use_gnn:
-            agg = gnn_step(state.h, mask, scene_mean,
-                           compute_dtype=compute_dtype)
+            # exact 9-neighbor reformulation of the masked dense
+            # attention (see ops/gnn.py)
+            agg = gnn_step_neighbors(state.h, scene_mean,
+                                     compute_dtype=compute_dtype)
             state = ConvLSTMState(c=state.c, h=state.h + agg)
         emb = conv2d(emb_p, x, activation=act, compute_dtype=compute_dtype)
         out, state = convlstm_step(cell_p, emb, state,

@@ -11,4 +11,8 @@ from multiverse_tpu.ops.convlstm import (  # noqa: F401
     convlstm_step,
     convlstm_scan,
 )
-from multiverse_tpu.ops.gnn import gnn_neighbor_mask, gnn_step  # noqa: F401
+from multiverse_tpu.ops.gnn import (  # noqa: F401
+    gnn_neighbor_mask,
+    gnn_step,
+    gnn_step_neighbors,
+)

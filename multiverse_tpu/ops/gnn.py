@@ -44,6 +44,61 @@ def gnn_neighbor_mask(h: int, w: int) -> np.ndarray:
     return ((dy <= 1) & (dx <= 1)).astype(np.float32)
 
 
+def gnn_step_neighbors(
+    hidden: jnp.ndarray,
+    scene_feat: Optional[jnp.ndarray] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Exact 3×3-neighborhood reformulation of :func:`gnn_step`.
+
+    The reference computes a dense [HW, HW] cosine-similarity matrix,
+    additively masks everything outside the 3×3 neighborhood with
+    −1e30, and softmaxes (reference: code/pred_models.py:842-909).
+    Masked softmax over 576 cells where ≤9 survive is the same as a
+    softmax over just the 9 spatial neighbors — so this computes
+    similarities only against the 9 shifted copies of the feature map:
+    64× fewer FLOPs and no [N, HW, HW] edge tensor in HBM (1.7 GB per
+    decode step at the beam-decode shapes).  Equality with the dense
+    path is asserted in tests to 1e-5.
+    """
+    N, H, W, D = hidden.shape
+    node = hidden
+    if scene_feat is not None:
+        node = jnp.concatenate([hidden, scene_feat], axis=-1)
+    sumsq = jnp.sum(jnp.square(node), axis=-1, keepdims=True)
+    node = node * jax.lax.rsqrt(jnp.maximum(sumsq, 1e-12))
+    states = hidden
+    if compute_dtype is not None:
+        node = node.astype(compute_dtype)
+        states = states.astype(compute_dtype)
+
+    node_p = jnp.pad(node, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    states_p = jnp.pad(states, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    sims = []
+    neigh_states = []
+    valid = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nb = node_p[:, 1 + dy:1 + dy + H, 1 + dx:1 + dx + W, :]
+            sims.append(jnp.sum(node * nb, axis=-1,
+                                dtype=jnp.float32))      # [N, H, W]
+            neigh_states.append(
+                states_p[:, 1 + dy:1 + dy + H, 1 + dx:1 + dx + W, :])
+            vy = np.zeros((H, W), np.float32)
+            vy[max(0, -dy):H - max(0, dy), max(0, -dx):W - max(0, dx)] = 1
+            valid.append(vy)
+    sims = jnp.stack(sims, axis=-1)                      # [N, H, W, 9]
+    valid = jnp.asarray(np.stack(valid, axis=-1))        # [H, W, 9]
+    sims = sims + (1.0 - valid) * -1e30
+    attn = jax.nn.softmax(sims, axis=-1)
+    if compute_dtype is not None:
+        attn = attn.astype(compute_dtype)
+    agg = sum(
+        attn[..., i:i + 1] * neigh_states[i] for i in range(9))
+    return agg.astype(jnp.float32) if compute_dtype is not None else agg
+
+
 def gnn_step(
     hidden: jnp.ndarray,
     neighbor_mask: jnp.ndarray,

@@ -186,3 +186,29 @@ def test_l2_weight_decay_only_w():
     wd = float(l2_weight_decay(params, 0.1))
     # only a/w counts: 0.5 * 0.1 * 4
     assert abs(wd - 0.2) < 1e-6
+
+
+def test_gnn_neighbor_reformulation_matches_dense():
+    """The 9-shift GNN must equal the dense masked-softmax version."""
+    import jax.numpy as jnp
+
+    from multiverse_tpu.ops import (
+        gnn_neighbor_mask,
+        gnn_step,
+        gnn_step_neighbors,
+    )
+
+    rng = np.random.RandomState(0)
+    N, H, W, D, C = 3, 6, 8, 16, 4
+    hidden = jnp.asarray(rng.randn(N, H, W, D).astype(np.float32))
+    scene = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    mask = jnp.asarray(gnn_neighbor_mask(H, W))
+
+    dense = np.asarray(gnn_step(hidden, mask, scene))
+    fast = np.asarray(gnn_step_neighbors(hidden, scene))
+    np.testing.assert_allclose(fast, dense, rtol=1e-5, atol=1e-5)
+
+    # without scene features too
+    dense = np.asarray(gnn_step(hidden, mask, None))
+    fast = np.asarray(gnn_step_neighbors(hidden, None))
+    np.testing.assert_allclose(fast, dense, rtol=1e-5, atol=1e-5)
