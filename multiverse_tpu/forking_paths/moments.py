@@ -283,6 +283,63 @@ def vehicle_world_trajectories(
     return out
 
 
+# ---------------------------------------------- world → CARLA placing
+
+# per-scene world-coordinate extents, computed from the ActEV ground
+# planes (reference: plot_traj_carla.py:79-96 `actev_norm`, produced by
+# compute_actev_world_norm.py — dataset constants)
+ACTEV_WORLD_NORM = {
+    "0400": {"x": (-113.339996, 15.906000), "y": (-51.101002, 82.049004)},
+    "0401": {"x": (-76.031998, 28.722000), "y": (-3.993000, 90.141998)},
+    "0000": {"x": (-7.510000, 48.320000), "y": (-7.984000, 14.305000)},
+    "0002": {"x": (-38.488998, 67.762001), "y": (-29.208000, 128.421005)},
+    "0500": {"x": (-25.212000, -0.499000), "y": (-25.396999, 35.426998)},
+}
+
+
+def rotate_xy(rows: np.ndarray, origin: Tuple[float, float],
+              radians: float) -> np.ndarray:
+    """Rotate trajectory rows' (x, y) columns about an origin
+    (reference: plot_traj_carla.py `rotate`)."""
+    out = np.asarray(rows, np.float64).copy()
+    ox, oy = origin
+    x, y = out[:, 2] - ox, out[:, 3] - oy
+    c, s = np.cos(radians), np.sin(radians)
+    out[:, 2] = ox + c * x - s * y
+    out[:, 3] = oy + s * x + c * y
+    return out
+
+
+def world_to_carla(
+    rows: np.ndarray,
+    scene: str,
+    origin_xyz: Tuple[float, float, float],
+    carla_rotation_deg: float,
+    scale: float = 1.0,
+    world_rotate_deg: float = 0.0,
+) -> np.ndarray:
+    """Ground-plane world trajectories → CARLA map coordinates.
+
+    The placement recipe of reference: plot_traj_carla.py:100-130 —
+    optional pre-rotation, translate the scene's world extent to the
+    origin, metric rescale, rotate into the CARLA map frame, then
+    translate to the calibrated map anchor.  Returns rows with (x, y)
+    replaced and a z column set to origin z."""
+    out = np.asarray(rows, np.float64).copy()
+    if world_rotate_deg:
+        out = rotate_xy(out, (0.0, 0.0), np.radians(world_rotate_deg))
+    (min_x, _), (min_y, _) = (ACTEV_WORLD_NORM[scene]["x"],
+                              ACTEV_WORLD_NORM[scene]["y"])
+    out[:, 2] = (out[:, 2] - min_x) * scale
+    out[:, 3] = (out[:, 3] - min_y) * scale
+    out = rotate_xy(out, (0.0, 0.0), np.radians(carla_rotation_deg))
+    out[:, 2] += origin_xyz[0]
+    out[:, 3] += origin_xyz[1]
+    if out.shape[1] > 4:
+        out[:, 4] = origin_xyz[2]
+    return out
+
+
 def save_moment_json(moments: List[dict], path: str) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:

@@ -113,3 +113,26 @@ def test_vehicle_world_trajectories():
     assert list(out) == [3]
     np.testing.assert_allclose(out[3][0], [0, -150.0, 180.0])
     np.testing.assert_allclose(out[3][1], [12, -160.0, 180.0])
+
+
+def test_world_to_carla_transform():
+    from multiverse_tpu.forking_paths.moments import (
+        ACTEV_WORLD_NORM,
+        rotate_xy,
+        world_to_carla,
+    )
+
+    rows = np.asarray([[0.0, 1.0, -7.51, -7.984, 0.0]])  # 0000 min corner
+    out = world_to_carla(rows, "0000", origin_xyz=(100.0, 50.0, 1.0),
+                         carla_rotation_deg=90.0, scale=2.0)
+    # min corner maps exactly to the map anchor
+    np.testing.assert_allclose(out[0, 2:5], [100.0, 50.0, 1.0], atol=1e-9)
+
+    rows2 = np.asarray([[0.0, 1.0, -7.51 + 3.0, -7.984, 0.0]])
+    out2 = world_to_carla(rows2, "0000", origin_xyz=(100.0, 50.0, 1.0),
+                          carla_rotation_deg=90.0, scale=2.0)
+    # +3m in x, scaled 2x, rotated 90° -> +6 in carla y
+    np.testing.assert_allclose(out2[0, 2:4], [100.0, 56.0], atol=1e-9)
+
+    r = rotate_xy(np.asarray([[0.0, 0.0, 1.0, 0.0]]), (0, 0), np.pi / 2)
+    np.testing.assert_allclose(r[0, 2:4], [0.0, 1.0], atol=1e-12)
