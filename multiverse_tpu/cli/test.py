@@ -7,7 +7,6 @@ runs the full evaluate loop and prints the metric table (:157-182).
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 

@@ -17,7 +17,6 @@ import os
 import sys
 
 import jax
-import numpy as np
 
 from multiverse_tpu.cli.common import (
     add_model_args,
@@ -39,7 +38,7 @@ from multiverse_tpu.train.checkpoints import (
     restore_params_from,
 )
 from multiverse_tpu.train.evaluate import evaluate
-from multiverse_tpu.train.trainer import TrainState, build_optimizer
+from multiverse_tpu.train.trainer import build_optimizer
 from multiverse_tpu.utils import MovingAverage, StepTimer, profile_trace
 
 

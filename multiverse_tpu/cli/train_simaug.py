@@ -17,7 +17,6 @@ import os
 import sys
 
 import jax
-import numpy as np
 
 from multiverse_tpu.cli.common import add_model_args, add_train_args
 from multiverse_tpu.cli import common as cli_common

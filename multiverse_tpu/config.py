@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 def _grid_shape(scene_h: int, scene_w: int, stride: int) -> Tuple[int, int]:

@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 from scipy.spatial.transform import Rotation

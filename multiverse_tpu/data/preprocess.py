@@ -30,7 +30,7 @@ import numpy as np
 
 from multiverse_tpu import geometry
 from multiverse_tpu.data import scene as scene_lib
-from multiverse_tpu.data.vocab import MOVE_ACTIVITY_IDS, activity2id
+from multiverse_tpu.data.vocab import MOVE_ACTIVITY_IDS
 
 
 class PreprocessOptions:

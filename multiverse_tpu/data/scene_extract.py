@@ -17,7 +17,7 @@ with a fake segmenter.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, List, Optional
+from typing import Callable, Iterable, List
 
 import numpy as np
 

@@ -17,7 +17,7 @@ intrinsic — the UE4-to-standard-camera axis swap
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from multiverse_tpu.forking_paths.camera import CameraRig, Transform
 

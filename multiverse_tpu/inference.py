@@ -30,7 +30,6 @@ import numpy as np
 from multiverse_tpu.config import MultiverseConfig
 from multiverse_tpu.data import scene as scene_lib
 from multiverse_tpu.geometry import (
-    dense_regression_targets_np,
     grid_centers,
     one_hot_grid,
     rasterize_traj_np,

@@ -31,7 +31,7 @@ Step-t semantics (t is 0-based; the reference's loop `time` is t+1):
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

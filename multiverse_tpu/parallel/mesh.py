@@ -40,7 +40,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multiverse_tpu.config import MultiverseConfig
 from multiverse_tpu.models import Batch, compute_loss, model_forward
-from multiverse_tpu.models.beam_search import diverse_beam_search
 from multiverse_tpu.train.trainer import TrainState
 
 
