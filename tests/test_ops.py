@@ -212,3 +212,26 @@ def test_gnn_neighbor_reformulation_matches_dense():
     dense = np.asarray(gnn_step(hidden, mask, None))
     fast = np.asarray(gnn_step_neighbors(hidden, None))
     np.testing.assert_allclose(fast, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_gnn_kernel_matches(monkeypatch):
+    """The fused Pallas kernel equals the jnp paths (interpret mode)."""
+    import jax.numpy as jnp
+
+    from multiverse_tpu.ops import gnn_step_neighbors
+    from multiverse_tpu.ops.pallas_gnn import gnn_step_pallas
+
+    rng = np.random.RandomState(1)
+    h = jnp.asarray(rng.randn(8, 6, 8, 16).astype(np.float32))
+    s = jnp.asarray(rng.randn(8, 6, 8, 4).astype(np.float32))
+    out = np.asarray(gnn_step_pallas(h, s, block_n=4, interpret=True))
+    ref = np.asarray(gnn_step_neighbors(h, s))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    out = np.asarray(gnn_step_pallas(h, None, block_n=4, interpret=True))
+    ref = np.asarray(gnn_step_neighbors(h, None))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # non-divisible N falls back to a valid divisor
+    h7 = jnp.asarray(rng.randn(6, 6, 8, 16).astype(np.float32))
+    out = np.asarray(gnn_step_pallas(h7, None, block_n=4, interpret=True))
+    ref = np.asarray(gnn_step_neighbors(h7, None))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
