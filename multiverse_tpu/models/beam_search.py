@@ -64,11 +64,23 @@ def add_diversity_penalty(logprobs: jnp.ndarray, gamma: float) -> jnp.ndarray:
     """Rank-based diversity penalty (Li et al. 2016).
 
     penalty[v] = log(gamma) * rank(v) where rank 0 is the best entry of
-    each [.., V] row (reference: code/pred_models.py:1197-1223; the
-    double-argsort replaces top_k + invert_permutation).
+    each [.., V] row (reference: code/pred_models.py:1197-1223 via
+    top_k + invert_permutation).
+
+    Ranks come from a comparison count instead of a sort: TPU sorts
+    are slow and this runs twice per decode step at [N·K, H·W].  The
+    count `Σ_j [x_j > x_i] + Σ_{j<i} [x_j == x_i]` reproduces a stable
+    descending argsort-of-argsort exactly, including tie order — XLA
+    fuses the broadcasted compare into the reduction, so no [V, V]
+    tensor is materialized.
     """
-    order = jnp.argsort(-logprobs, axis=-1)          # descending
-    ranks = jnp.argsort(order, axis=-1)              # rank of each entry
+    x = logprobs
+    gt = (x[..., None, :] > x[..., :, None])         # [.., V(i), V(j)]
+    eq = (x[..., None, :] == x[..., :, None])
+    V = x.shape[-1]
+    earlier = (jnp.arange(V)[None, :] < jnp.arange(V)[:, None])
+    ranks = jnp.sum(gt, axis=-1) + jnp.sum(
+        eq & earlier, axis=-1)
     return logprobs + math.log(gamma) * ranks.astype(logprobs.dtype)
 
 

@@ -230,3 +230,31 @@ def test_add_diversity_penalty_ranks():
     np.testing.assert_allclose(
         out[0, 0], [0.0, -1.0 + 2 * lg, -0.5 + lg, -2.0 + 3 * lg], rtol=1e-6
     )
+
+
+def test_diversity_rank_matches_stable_argsort():
+    """The comparison-count ranks must equal stable double-argsort,
+    including ties (the t=0 all-equal-logprob rows)."""
+    import math as _math
+
+    import jax.numpy as jnp
+
+    from multiverse_tpu.models.beam_search import add_diversity_penalty
+
+    rng = np.random.RandomState(0)
+    gamma = 0.01
+    cases = [
+        rng.randn(4, 6, 17).astype(np.float32),
+        np.full((2, 3, 9), -1e30, np.float32),           # all ties
+        np.repeat(rng.randn(3, 1, 5).astype(np.float32), 4, axis=1),
+    ]
+    # mixed ties
+    mixed = rng.randn(2, 2, 11).astype(np.float32)
+    mixed[..., ::3] = 7.0
+    cases.append(mixed)
+    for x in cases:
+        order = np.argsort(-x, axis=-1, kind="stable")
+        ranks = np.argsort(order, axis=-1, kind="stable")
+        expected = x + _math.log(gamma) * ranks.astype(np.float32)
+        got = np.asarray(add_diversity_penalty(jnp.asarray(x), gamma))
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-4)
