@@ -131,6 +131,52 @@ def render_multifuture_frame(
     return frame
 
 
+def draw_grid(img: np.ndarray, grid_hw: Tuple[int, int]) -> np.ndarray:
+    """Overlay the grid-cell boundaries
+    (reference: SimAug/code/visualize.py:49-65)."""
+    cv2 = _cv2()
+    imgh, imgw = img.shape[:2]
+    gh, gw = grid_hw
+    for r in range(gh):
+        y = int(imgh / gh * r)
+        img = cv2.line(img, (0, y), (imgw, y), (255, 0, 0), 1)
+    for c in range(gw):
+        x = int(imgw / gw * c)
+        img = cv2.line(img, (x, 0), (x, imgh), (255, 0, 0), 1)
+    return img
+
+
+def grid_prob_heatmap(
+    frame: np.ndarray,
+    cell_probs: np.ndarray,          # [H*W], sums to 1
+    grid_centers: np.ndarray,        # [H*W, 2] pixel centers
+    sigma: float = 10.0,
+    colormap: Optional[int] = None,
+    alpha: float = 0.7,
+) -> np.ndarray:
+    """Per-cell probability heatmap composited onto a frame: stamp
+    each cell's probability at its center, gaussian-blur, min-max
+    rescale, colormap (reference: SimAug/code/visualize.py:67-112)."""
+    cv2 = _cv2()
+    from scipy.ndimage import gaussian_filter
+
+    imgh, imgw = frame.shape[:2]
+    layer = np.zeros((imgh, imgw), np.float64)
+    centers = np.asarray(grid_centers).reshape(-1, 2)
+    for k, (cx, cy) in enumerate(centers):
+        layer[int(cy), int(cx)] = float(cell_probs[k])
+    blurred = gaussian_filter(layer, sigma=sigma)
+    span = blurred.max() - blurred.min()
+    if span > 0:
+        blurred = (blurred - blurred.min()) / span
+    blurred = np.uint8(blurred * 255)
+    _, mask = cv2.threshold(blurred, 1, 255, cv2.THRESH_BINARY)
+    cmap = cv2.COLORMAP_JET if colormap is None else colormap
+    heat = cv2.applyColorMap(blurred, cmap)
+    heat = cv2.bitwise_and(heat, heat, mask=mask)
+    return cv2.addWeighted(frame, 1.0, heat, alpha, 0)
+
+
 def render_output_frame(
     frame: np.ndarray,
     obs_traj: np.ndarray,

@@ -61,3 +61,23 @@ def test_render_output_frame():
     out = render_output_frame(
         frame, obs, gtp, [(pred, (255, 0, 0))])
     assert out.sum() > 0
+
+
+def test_grid_prob_heatmap_and_grid():
+    from multiverse_tpu.geometry import grid_centers
+    from multiverse_tpu.vis import draw_grid, grid_prob_heatmap
+
+    frame = np.zeros((72, 128, 3), np.uint8)
+    centers = grid_centers(72, 128, 6, 8).reshape(-1, 2)
+    probs = np.zeros(48)
+    probs[10] = 1.0
+    out = grid_prob_heatmap(frame.copy(), probs, centers)
+    assert out.shape == frame.shape and out.sum() > 0
+    # hottest (reddest in BGR JET) pixel near the hot cell center
+    red = out[:, :, 2].astype(np.int32) - out[:, :, 0].astype(np.int32)
+    cy, cx = np.unravel_index(red.argmax(), red.shape)
+    ex, ey = centers[10]
+    assert abs(cx - ex) < 15 and abs(cy - ey) < 15
+
+    gridded = draw_grid(frame.copy(), (6, 8))
+    assert (gridded[:, :, 0] > 0).any()
