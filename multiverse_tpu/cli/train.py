@@ -123,9 +123,11 @@ def main(argv=None) -> None:
     finalperf = None
     global_step = int(jax.device_get(state.step))
 
+    from multiverse_tpu.data.prefetch import prefetch
+
     with mesh, profile_trace(args.profile):
-        for batch, _ in train_data.get_batches(
-                cfg.batch_size, num_steps=num_steps):
+        for batch, _ in prefetch(train_data.get_batches(
+                cfg.batch_size, num_steps=num_steps), depth=2):
             global_step += 1
 
             with timer:

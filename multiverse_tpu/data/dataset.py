@@ -92,25 +92,18 @@ class TrajectoryDataset:
                 d["pred_grid_target_all_%d" % i][idxs].astype(np.float32))
 
         # ---- per-batch scene table with old→new remap + fixed-size pad
-        # (reference: code/pred_utils.py:680-704)
+        # (reference: code/pred_utils.py:680-704); the remap + row
+        # gather run in the native packer (multiverse_tpu.native) so
+        # the host feed thread stays off the interpreter
+        from multiverse_tpu import native
+
         cap = self._scene_cap(len(idxs))
         scene_rows = self.shared["scene_feat"]
-        obs_scene_old = d["obs_scene"][idxs]  # [n, T, 1]
-        old2new: Dict[int, int] = {}
-        new_idx = np.zeros((n, cfg.obs_len), np.int32)
-        for a in range(n):
-            for t in range(cfg.obs_len):
-                old = int(obs_scene_old[a, t, 0])
-                if old not in old2new:
-                    old2new[old] = len(old2new)
-                new_idx[a, t] = old2new[old]
-        if len(old2new) > cap:
-            raise ValueError("scene table overflow: %d > %d"
-                             % (len(old2new), cap))
-        table = np.zeros(
-            (cap,) + scene_rows.shape[1:], dtype=scene_rows.dtype)
-        for old, new in old2new.items():
-            table[new] = scene_rows[old]
+        obs_scene_old = d["obs_scene"][idxs][..., 0]  # [n, T]
+        new_idx, old_rows, _ = native.remap_first_seen(
+            obs_scene_old.astype(np.int32), cap,
+            max_id=len(scene_rows) - 1)
+        table = native.gather_rows(scene_rows, old_rows, cap)
 
         batch = Batch(
             obs_grid_class=obs_grid_class,

@@ -1,0 +1,126 @@
+"""Native (C++) host-runtime components.
+
+The reference framework is 100% Python — its only native layer is the
+TF binary runtime (SURVEY.md intro).  This package provides the native
+pieces that matter for a TPU deployment's *host* path: the per-step
+batch packing that runs on the feeding thread.  The extension is built
+on demand with g++ and bound via ctypes; every entry point has a pure
+numpy fallback, so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "packing.cpp")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    cache = os.path.join(
+        tempfile.gettempdir(), "multiverse_tpu_native")
+    os.makedirs(cache, exist_ok=True)
+    lib_path = os.path.join(cache, "libpacking.so")
+    try:
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, _SRC],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(lib_path)
+        lib.remap_first_seen.restype = ctypes.c_int64
+        lib.remap_first_seen.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        lib.gather_rows_u8.restype = None
+        lib.gather_rows_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def have_native() -> bool:
+    return _build_and_load() is not None
+
+
+def _as_i32_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def remap_first_seen(
+    ids: np.ndarray, capacity: int, max_id: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Remap ids to first-seen-order [0, n_unique) ids.
+
+    Returns (remapped ids same shape, table [n_unique] of old ids,
+    n_unique).  Raises ValueError when unique ids exceed capacity.
+    """
+    flat = np.ascontiguousarray(ids, np.int32).reshape(-1)
+    out = np.empty_like(flat)
+    if max_id is None:
+        max_id = int(flat.max()) if flat.size else 0
+    lib = _build_and_load()
+    if lib is not None:
+        seen = np.full(max_id + 1, -1, np.int32)
+        table = np.empty(max(capacity, 1), np.int32)
+        n = lib.remap_first_seen(
+            _as_i32_ptr(flat), flat.size, _as_i32_ptr(out),
+            _as_i32_ptr(seen), _as_i32_ptr(table), capacity)
+        if n < 0:
+            raise ValueError("scene table overflow: capacity %d"
+                             % capacity)
+        return out.reshape(ids.shape), table[:n].copy(), int(n)
+
+    # numpy fallback (same first-seen semantics)
+    old2new: dict = {}
+    table_list = []
+    for i, old in enumerate(flat.tolist()):
+        new = old2new.get(old)
+        if new is None:
+            if len(old2new) >= capacity:
+                raise ValueError("scene table overflow: capacity %d"
+                                 % capacity)
+            new = len(old2new)
+            old2new[old] = new
+            table_list.append(old)
+        out[i] = new
+    return (out.reshape(ids.shape),
+            np.asarray(table_list, np.int32), len(table_list))
+
+
+def gather_rows(rows: np.ndarray, table: np.ndarray,
+                out_rows: int) -> np.ndarray:
+    """out[i] = rows[table[i]], zero-padded to out_rows rows."""
+    table = np.ascontiguousarray(table, np.int32)
+    out = np.zeros((out_rows,) + rows.shape[1:], rows.dtype)
+    lib = _build_and_load()
+    if lib is not None and rows.dtype == np.uint8:
+        rows_c = np.ascontiguousarray(rows)
+        row_bytes = int(np.prod(rows.shape[1:]))
+        lib.gather_rows_u8(
+            rows_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _as_i32_ptr(table), len(table), row_bytes,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
+    out[:len(table)] = rows[table]
+    return out
