@@ -117,13 +117,27 @@ def diverse_beam_search(
     cell_p = scale_params["dec_class"]
     h2g_p = scale_params["h2g_class"]
 
+    # The decoder input is always a one-hot cell map and the spatial
+    # embedding conv is linear before its activation, so the embedding
+    # of every possible cell is precomputable: one conv over the 576
+    # basis maps replaces a pathological 1-channel conv (lane-padded
+    # 128x on TPU) + one-hot materialization with a plain row gather
+    # per step.  Exact — asserted against the conv path in tests.
+    basis = one_hot_grid(jnp.arange(HW), h, w)          # [HW, h, w, 1]
+    emb_table = conv2d(emb_p, basis, activation=act,
+                       compute_dtype=compute_dtype)     # [HW, h, w, E]
+
     # tile inputs & state across beams (reference: :494-514)
     def tile(x):
         return jnp.broadcast_to(
             x[:, None], (N, K) + x.shape[1:]
         )
 
-    x0 = tile(first_input)
+    # first decoder input is the last observed cell's one-hot; carry
+    # its flat id instead of the map (the emb table gathers by id)
+    ids0 = jnp.argmax(
+        first_input.reshape(N, HW), axis=1).astype(jnp.int32)
+    ids0 = jnp.broadcast_to(ids0[:, None], (N, K))
     state0 = ConvLSTMState(c=tile(init_state.c), h=tile(init_state.h))
     scene_nk = None
     if scene_mean is not None and use_gnn:
@@ -132,7 +146,7 @@ def diverse_beam_search(
     beam_iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (N, K))
 
     def step(carry, t):
-        state, x, logprob = carry
+        state, prev_ids, logprob = carry
         # --- GNN residual on hidden, then embed + cell (beams folded)
         hh = _fold(state.h)
         if use_gnn:
@@ -140,8 +154,7 @@ def diverse_beam_search(
             # attention (see ops/gnn.py)
             hh = hh + gnn_step_neighbors(hh, scene_nk,
                                          compute_dtype=compute_dtype)
-        emb = conv2d(emb_p, _fold(x), activation=act,
-                     compute_dtype=compute_dtype)
+        emb = emb_table[prev_ids.reshape(-1)]
         out, new_state_f = convlstm_step(
             cell_p, emb, ConvLSTMState(c=_fold(state.c), h=hh),
             compute_dtype=compute_dtype,
@@ -187,15 +200,13 @@ def diverse_beam_search(
                 c=jnp.where(keep, state.c, new_state.c),
                 h=jnp.where(keep, state.h, new_state.h),
             )
-        next_x = one_hot_grid(ids, h, w)
-
         emit = (ids, parents, logits_t)
         if save_states:
             emit = emit + (out.reshape(N, K, h, w, D),)
-        return (new_state, next_x, new_logprob), emit
+        return (new_state, ids, new_logprob), emit
 
     (_, _, final_logprobs), emits = jax.lax.scan(
-        step, (state0, x0, logprob0), jnp.arange(T_pred)
+        step, (state0, ids0, logprob0), jnp.arange(T_pred)
     )
     all_ids, all_parents, all_logits = emits[:3]  # [T, N, K(, HW)]
     all_states = emits[3] if save_states else None

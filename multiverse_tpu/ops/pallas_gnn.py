@@ -29,30 +29,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gnn_kernel(node_ref, states_ref, mask_ref, out_ref):
-    """node_ref: [B, H+2, W+2, Dn] normalized+padded features;
-    states_ref: [B, H+2, W+2, Ds] padded values; mask_ref: [9, H, W]
-    1/0 validity; out: [B, H, W, Ds] f32.
+    """One sample per grid program — 3D blocks keep the Mosaic IR
+    simple.  node_ref: [H+2, W+2, Dn] normalized+padded features;
+    states_ref: [H+2, W+2, Ds] padded values; mask_ref: [9·H, W]
+    row-stacked 1/0 validity; out: [H, W, Ds] f32.
 
     Streaming softmax: cosine similarities are bounded in [-1, 1], so
     exp needs no max-shift; out-of-frame neighbors multiply to weight
     exactly 0 — identical to the reference's −1e30 additive mask.  One
-    neighbor is live at a time, keeping VMEM to ~3 block-sized f32
-    buffers."""
-    B, Hp, Wp, Dn = node_ref.shape
+    neighbor is live at a time."""
+    Hp, Wp, Dn = node_ref.shape
     H, W = Hp - 2, Wp - 2
     Ds = states_ref.shape[-1]
 
-    center = node_ref[:, 1:1 + H, 1:1 + W, :].astype(jnp.float32)
-    num = jnp.zeros((B, H, W, Ds), jnp.float32)
-    den = jnp.zeros((B, H, W, 1), jnp.float32)
+    center = node_ref[1:1 + H, 1:1 + W, :].astype(jnp.float32)
+    num = jnp.zeros((H, W, Ds), jnp.float32)
+    den = jnp.zeros((H, W, 1), jnp.float32)
     idx = 0
     for dy in (0, 1, 2):
         for dx in (0, 1, 2):
-            nb = node_ref[:, dy:dy + H, dx:dx + W, :].astype(jnp.float32)
+            nb = node_ref[dy:dy + H, dx:dx + W, :].astype(jnp.float32)
             sim = jnp.sum(center * nb, axis=-1, keepdims=True)
-            w = jnp.exp(sim) * mask_ref[idx][None, :, :, None]
+            w = jnp.exp(sim) * mask_ref[
+                idx * H:(idx + 1) * H, :][:, :, None]
             num = num + w * states_ref[
-                :, dy:dy + H, dx:dx + W, :].astype(jnp.float32)
+                dy:dy + H, dx:dx + W, :].astype(jnp.float32)
             den = den + w
             idx += 1
     out_ref[:] = num / den
@@ -91,26 +92,28 @@ def gnn_step_pallas(
                   max(0, -dy):H - max(0, dy),
                   max(0, -dx):W - max(0, dx)] = 1.0
             idx += 1
-    masks = jnp.asarray(masks)
+    masks = jnp.asarray(masks.reshape(9 * H, W))
 
+    # fold block_n into the spatial axis: one (sample-sub-block) per
+    # program with 3D refs — Mosaic handles these far better than 4D
     Dn = node_p.shape[-1]
-    grid = (N // block_n,)
-    return pl.pallas_call(
+    node_p = node_p.reshape(N * (H + 2), W + 2, Dn)
+    states_p = states_p.reshape(N * (H + 2), W + 2, D)
+    grid = (N,)
+    out = pl.pallas_call(
         _gnn_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_n, H + 2, W + 2, Dn),
-                         lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((H + 2, W + 2, Dn), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, H + 2, W + 2, D),
-                         lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((H + 2, W + 2, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, H, W), lambda i: (0, 0, 0),
+            pl.BlockSpec((9 * H, W), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_n, H, W, D),
-                               lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((H, W, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, H, W, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N * H, W, D), jnp.float32),
         interpret=interpret,
     )(node_p, states_p, masks)
+    return out.reshape(N, H, W, D)
