@@ -42,7 +42,7 @@ from multiverse_tpu.ops import (
     ConvLSTMState,
     conv2d,
     convlstm_step,
-    gnn_step_neighbors,
+    gnn_step_auto,
 )
 from multiverse_tpu.ops.layers import get_activation
 
@@ -150,10 +150,10 @@ def diverse_beam_search(
         # --- GNN residual on hidden, then embed + cell (beams folded)
         hh = _fold(state.h)
         if use_gnn:
-            # exact 9-neighbor reformulation of the masked dense
-            # attention (see ops/gnn.py)
-            hh = hh + gnn_step_neighbors(hh, scene_nk,
-                                         compute_dtype=compute_dtype)
+            # fused pallas kernel on TPU bf16, exact jnp
+            # 9-neighbor reformulation elsewhere (see ops/gnn.py)
+            hh = hh + gnn_step_auto(hh, scene_nk,
+                                    compute_dtype=compute_dtype)
         emb = emb_table[prev_ids.reshape(-1)]
         out, new_state_f = convlstm_step(
             cell_p, emb, ConvLSTMState(c=_fold(state.c), h=hh),

@@ -14,5 +14,6 @@ from multiverse_tpu.ops.convlstm import (  # noqa: F401
 from multiverse_tpu.ops.gnn import (  # noqa: F401
     gnn_neighbor_mask,
     gnn_step,
+    gnn_step_auto,
     gnn_step_neighbors,
 )

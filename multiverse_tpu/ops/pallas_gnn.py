@@ -1,19 +1,18 @@
-"""Fused Pallas TPU kernel for the 3×3-neighborhood graph attention.
+"""Fused Pallas TPU kernel for the grid graph attention.
 
-The decode-step GNN is memory-bound, not FLOP-bound: the dense
-reference formulation materializes a [N, HW, HW] edge tensor (1.7 GB
-per beam-decode step), and even the exact 9-shift jnp reformulation
-(ops/gnn.py:gnn_step_neighbors) makes XLA materialize nine shifted
-copies of the feature map.  This kernel computes the nine neighbor
-similarities, border-masked softmax, and weighted aggregation in one
-pass over VMEM-resident batch blocks — each input byte is read from
-HBM once and the only write is the aggregated output.
+The reference GNN is one dense masked softmax attention over grid
+cells (reference: code/pred_models.py:808-909).  At beam-decode shapes
+the XLA version materializes a [N·K, HW, HW] edge tensor in HBM
+(1.7 GB per decode step) and even the exact 9-shift reformulation
+(ops/gnn.py) leaves XLA shuffling nine shifted feature-map copies.
 
-Kernel-side code is deliberately Mosaic-friendly: inputs arrive
-l2-normalized and spatially pre-padded (one cheap fused XLA pass), all
-slices are static, and the border mask is a tiny constant input.
-Numerics match gnn_step / gnn_step_neighbors (asserted in tests via
-interpret mode): similarities and softmax accumulate in f32.
+This kernel runs the *dense* attention per sample entirely in VMEM:
+the [HW, HW] edge matrix (1.3 MB at 18×32) never touches HBM, both
+matmuls ride the MXU (the 9-shift form is a VPU cross-lane-reduce
+bound dead end), and each input byte is read once.  The math is the
+reference's exactly — cosine-similarity matmul, additive −1e30
+neighborhood mask, row softmax, aggregation matmul — asserted against
+gnn_step in tests (interpret mode) and on device.
 """
 
 from __future__ import annotations
@@ -27,36 +26,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multiverse_tpu.ops.gnn import gnn_neighbor_mask
+
 
 def _gnn_kernel(node_ref, states_ref, mask_ref, out_ref):
-    """One sample per grid program — 3D blocks keep the Mosaic IR
-    simple.  node_ref: [H+2, W+2, Dn] normalized+padded features;
-    states_ref: [H+2, W+2, Ds] padded values; mask_ref: [9·H, W]
-    row-stacked 1/0 validity; out: [H, W, Ds] f32.
-
-    Streaming softmax: cosine similarities are bounded in [-1, 1], so
-    exp needs no max-shift; out-of-frame neighbors multiply to weight
-    exactly 0 — identical to the reference's −1e30 additive mask.  One
-    neighbor is live at a time."""
-    Hp, Wp, Dn = node_ref.shape
-    H, W = Hp - 2, Wp - 2
-    Ds = states_ref.shape[-1]
-
-    center = node_ref[1:1 + H, 1:1 + W, :].astype(jnp.float32)
-    num = jnp.zeros((H, W, Ds), jnp.float32)
-    den = jnp.zeros((H, W, 1), jnp.float32)
-    idx = 0
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            nb = node_ref[dy:dy + H, dx:dx + W, :].astype(jnp.float32)
-            sim = jnp.sum(center * nb, axis=-1, keepdims=True)
-            w = jnp.exp(sim) * mask_ref[
-                idx * H:(idx + 1) * H, :][:, :, None]
-            num = num + w * states_ref[
-                dy:dy + H, dx:dx + W, :].astype(jnp.float32)
-            den = den + w
-            idx += 1
-    out_ref[:] = num / den
+    """One sample per program.  node_ref: [HW, Dn] l2-normalized node
+    features; states_ref: [HW, Ds]; mask_ref: [HW, HW] additive mask
+    (0 for neighbors, −1e30 outside); out: [HW, Ds] f32."""
+    node = node_ref[:]
+    edges = jnp.dot(node, node.T,
+                    preferred_element_type=jnp.float32)    # MXU
+    edges = edges + mask_ref[:]
+    m = jnp.max(edges, axis=-1, keepdims=True)
+    e = jnp.exp(edges - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    out_ref[:] = jnp.dot(attn.astype(states_ref.dtype), states_ref[:],
+                         preferred_element_type=jnp.float32)
 
 
 @functools.partial(
@@ -64,13 +49,13 @@ def _gnn_kernel(node_ref, states_ref, mask_ref, out_ref):
 def gnn_step_pallas(
     hidden: jnp.ndarray,                        # [N, H, W, D]
     scene_feat: Optional[jnp.ndarray] = None,   # [N, H, W, C]
-    block_n: int = 4,
+    block_n: int = 1,                           # kept for API compat
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused neighborhood attention; returns [N, H, W, D] f32."""
+    """Fused dense neighborhood attention; returns [N, H, W, D] f32."""
+    del block_n
     N, H, W, D = hidden.shape
-    if N % block_n != 0:
-        block_n = int(np.gcd(N, block_n))
+    HW = H * W
 
     node = hidden
     if scene_feat is not None:
@@ -80,40 +65,26 @@ def gnn_step_pallas(
     node = node * jax.lax.rsqrt(jnp.maximum(sumsq, 1e-12))
     node = node.astype(hidden.dtype)
 
-    pad = ((0, 0), (1, 1), (1, 1), (0, 0))
-    node_p = jnp.pad(node, pad)
-    states_p = jnp.pad(hidden, pad)
+    Dn = node.shape[-1]
+    node = node.reshape(N * HW, Dn)
+    states = hidden.reshape(N * HW, D)
+    mask = jnp.asarray(
+        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
 
-    masks = np.zeros((9, H, W), np.float32)
-    idx = 0
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            masks[idx,
-                  max(0, -dy):H - max(0, dy),
-                  max(0, -dx):W - max(0, dx)] = 1.0
-            idx += 1
-    masks = jnp.asarray(masks.reshape(9 * H, W))
-
-    # fold block_n into the spatial axis: one (sample-sub-block) per
-    # program with 3D refs — Mosaic handles these far better than 4D
-    Dn = node_p.shape[-1]
-    node_p = node_p.reshape(N * (H + 2), W + 2, Dn)
-    states_p = states_p.reshape(N * (H + 2), W + 2, D)
-    grid = (N,)
     out = pl.pallas_call(
         _gnn_kernel,
-        grid=grid,
+        grid=(N,),
         in_specs=[
-            pl.BlockSpec((H + 2, W + 2, Dn), lambda i: (i, 0, 0),
+            pl.BlockSpec((HW, Dn), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H + 2, W + 2, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((HW, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * H, W), lambda i: (0, 0),
+            pl.BlockSpec((HW, HW), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((H, W, D), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((HW, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N * H, W, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N * HW, D), jnp.float32),
         interpret=interpret,
-    )(node_p, states_p, masks)
+    )(node, states, mask)
     return out.reshape(N, H, W, D)
