@@ -138,7 +138,10 @@ def diverse_beam_search(
     ids0 = jnp.argmax(
         first_input.reshape(N, HW), axis=1).astype(jnp.int32)
     ids0 = jnp.broadcast_to(ids0[:, None], (N, K))
-    state0 = ConvLSTMState(c=tile(init_state.c), h=tile(init_state.h))
+    state_dtype = compute_dtype or init_state.h.dtype
+    state0 = ConvLSTMState(
+        c=tile(init_state.c.astype(state_dtype)),
+        h=tile(init_state.h.astype(state_dtype)))
     scene_nk = None
     if scene_mean is not None and use_gnn:
         scene_nk = _fold(tile(scene_mean))

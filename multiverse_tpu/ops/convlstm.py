@@ -73,6 +73,13 @@ def convlstm_step(
     i, g, f, o = jnp.split(gates, 4, axis=-1)
     new_c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+    if compute_dtype is not None:
+        # on the reduced-precision path the recurrent state is carried
+        # in the compute dtype too — halves the HBM traffic of the
+        # state carry and the beam-search state gathers (the f32 path
+        # remains the reference-parity path)
+        new_c = new_c.astype(compute_dtype)
+        new_h = new_h.astype(compute_dtype)
     return new_h, ConvLSTMState(c=new_c, h=new_h)
 
 
@@ -99,9 +106,14 @@ def convlstm_scan(
     N, T = xs.shape[0], xs.shape[1]
     H, W = xs.shape[2], xs.shape[3]
     D = params["kernel"].shape[-1] // 4
+    state_dtype = compute_dtype or jnp.float32
     if init_state is None:
-        zeros = jnp.zeros((N, H, W, D), dtype=jnp.float32)
+        zeros = jnp.zeros((N, H, W, D), dtype=state_dtype)
         init_state = ConvLSTMState(c=zeros, h=zeros)
+    else:
+        init_state = ConvLSTMState(
+            c=init_state.c.astype(state_dtype),
+            h=init_state.h.astype(state_dtype))
 
     xs_t = jnp.moveaxis(xs, 1, 0)  # [T, N, H, W, Cin]
 
