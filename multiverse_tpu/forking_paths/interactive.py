@@ -293,6 +293,146 @@ def run_spectator(
         pygame.quit()
 
 
+def run_moment_editor(
+    client,
+    moment_data: List[dict],
+    out_file: str,
+    width: int = 1280,
+    height: int = 720,
+    fov: float = 90.0,
+) -> List[dict]:
+    """Scenario editor/QA (reference: moment_editor.py keybindings at
+    :138-172): `[`/`]` cycle moments, `g` replay, `o` approve,
+    `x` select an x-agent id (number keys pick the pid), left-click
+    adds a destination for the selected agent at the clicked 3D point
+    (depth backprojection), `u` removes the agent, ESC saves + quits.
+    """
+    import carla
+    import pygame
+
+    from multiverse_tpu.forking_paths.annotation import (
+        add_x_agent_destination,
+        approve_moment,
+        remove_x_agent,
+    )
+
+    pygame.init()
+    display = pygame.display.set_mode((width, height))
+    clock = pygame.time.Clock()
+    world = client.get_world()
+    bp_lib = world.get_blueprint_library()
+
+    pose = Transform(z=30.0, pitch=-50.0)
+    rig = CameraRig(pose, width, height, fov)
+    t = carla.Transform(
+        location=carla.Location(pose.x, pose.y, pose.z),
+        rotation=carla.Rotation(pitch=pose.pitch))
+    rgb_bp = bp_lib.find("sensor.camera.rgb")
+    depth_bp = bp_lib.find("sensor.camera.depth")
+    for bp in (rgb_bp, depth_bp):
+        bp.set_attribute("image_size_x", str(width))
+        bp.set_attribute("image_size_y", str(height))
+        bp.set_attribute("fov", str(fov))
+    rgb_cam = world.spawn_actor(rgb_bp, t)
+    depth_cam = world.spawn_actor(depth_bp, t)
+    last = {"rgb": None, "depth": None}
+    rgb_cam.listen(lambda im: last.__setitem__("rgb", im))
+    depth_cam.listen(lambda im: last.__setitem__("depth", im))
+
+    cur = 0
+    selected_pid = 0
+
+    def replay(moment):
+        adapter = CarlaAdapter(
+            world, client,
+            (bp_lib.filter("walker.pedestrian.*"), [0]),
+            (bp_lib.filter("vehicle.*"), [0]),
+            use_collision_sensors=False)
+        state = SimState()
+        total = max((int(float(k))
+                     for k in moment["ped_controls"]), default=0) + 1
+        for frame_id in range(total):
+            adapter.execute(plan_frame(
+                frame_id, moment["ped_controls"],
+                moment.get("vehicle_controls", {}), state), state)
+            world.tick()
+            if last["rgb"] is not None:
+                display.blit(_pygame_surface(pygame, last["rgb"]), (0, 0))
+                pygame.display.flip()
+        adapter.cleanup()
+
+    try:
+        while True:
+            clock.tick(30)
+            for event in pygame.event.get():
+                if event.type == pygame.QUIT:
+                    raise KeyboardInterrupt
+                if event.type == pygame.KEYDOWN:
+                    if event.key == pygame.K_ESCAPE:
+                        raise KeyboardInterrupt
+                    if event.key == pygame.K_RIGHTBRACKET:
+                        cur = (cur + 1) % len(moment_data)
+                    if event.key == pygame.K_LEFTBRACKET:
+                        cur = (cur - 1) % len(moment_data)
+                    if event.key == pygame.K_g:
+                        replay(moment_data[cur])
+                    if event.key == pygame.K_o:
+                        moment_data[cur] = approve_moment(moment_data[cur])
+                        print("approved moment %d" % cur)
+                    if event.key == pygame.K_u:
+                        moment_data[cur] = remove_x_agent(
+                            moment_data[cur], selected_pid)
+                    if pygame.K_0 <= event.key <= pygame.K_9:
+                        selected_pid = event.key - pygame.K_0
+                        print("selected x-agent pid %d" % selected_pid)
+                if event.type == pygame.MOUSEBUTTONDOWN \
+                        and last["depth"] is not None:
+                    u, v = event.pos
+                    depth_img = np.frombuffer(
+                        last["depth"].raw_data, np.uint8).reshape(
+                        height, width, 4)[:, :, 2::-1]
+                    d = parse_carla_depth(depth_img)[v, u]
+                    xyz = pixel_to_world(u, v, d, rig)
+                    moment_data[cur] = add_x_agent_destination(
+                        moment_data[cur], selected_pid,
+                        [float(xyz[0]), float(xyz[1]), float(xyz[2])])
+                    print("moment %d: pid %d destination %s" % (
+                        cur, selected_pid, np.round(xyz, 2).tolist()))
+            world.tick()
+            if last["rgb"] is not None:
+                display.blit(_pygame_surface(pygame, last["rgb"]), (0, 0))
+                pygame.display.flip()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for cam in (rgb_cam, depth_cam):
+            cam.stop()
+            cam.destroy()
+        pygame.quit()
+    with open(out_file, "w") as f:
+        json.dump(moment_data, f)
+    return moment_data
+
+
+def moment_editor_main(argv=None) -> None:
+    """mvt-moment-editor CLI (reference: moment_editor.py)."""
+    import argparse
+
+    import carla
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("moment_json")
+    parser.add_argument("out_file")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", default=2000, type=int)
+    args = parser.parse_args(argv)
+    with open(args.moment_json) as f:
+        moment_data = json.load(f)
+    client = carla.Client(args.host, args.port)
+    client.set_timeout(10.0)
+    run_moment_editor(client, moment_data, args.out_file)
+
+
 def annotate_main(argv=None) -> None:
     """mvt-annotate CLI (reference: annotate_carla.py)."""
     import argparse

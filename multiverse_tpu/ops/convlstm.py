@@ -65,11 +65,13 @@ def convlstm_step(
         kernel,
         window_strides=(1, 1),
         padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        # reduced-precision path: accumulate f32 inside the MXU but
+        # store the 4·D gate map in the compute dtype — it is the
+        # single largest per-step HBM tensor (3 GB/step at beam shapes)
+        preferred_element_type=compute_dtype or jnp.float32,
         precision=precision,
     )
-    gates = gates + params["bias"]
+    gates = gates + params["bias"].astype(gates.dtype)
     i, g, f, o = jnp.split(gates, 4, axis=-1)
     new_c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
