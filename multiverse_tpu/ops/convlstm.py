@@ -65,6 +65,7 @@ def convlstm_step(
         kernel,
         window_strides=(1, 1),
         padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         # reduced-precision path: accumulate f32 inside the MXU but
         # store the 4·D gate map in the compute dtype — it is the
         # single largest per-step HBM tensor (3 GB/step at beam shapes)
