@@ -122,6 +122,29 @@ def test_train_simaug_cli(workdir, prepro):
     assert cfg["multiview_train"] is True
 
 
+def test_test_cli_beam_mode(trained, prepro, workdir, capsys):
+    """mvt-test with beam search saves beam ids/logprobs in the output
+    pickle (reference: code/pred_utils.py:379-394,519-531)."""
+    from multiverse_tpu.cli import test as test_cli
+
+    save_out = os.path.join(workdir["root"], "test_out_beam.p")
+    test_cli.main([
+        prepro, trained, "toy", "--runId", "1", "--load_best",
+        "--batch_size", "4", "--save_output", save_out,
+        "--use_beam_search", "--beam_size", "3",
+        "--diverse_beam", "--diverse_gamma", "0.01",
+        *MODEL_FLAGS,
+    ])
+    capsys.readouterr()
+    with open(save_out, "rb") as f:
+        data = pickle.load(f)
+    assert "beam_grid_ids" in data and "beam_logprobs" in data
+    ids = np.asarray(data["beam_grid_ids"][0])
+    assert ids.shape[0] == 3  # [K, T]
+    lp = np.asarray(data["beam_logprobs"][0])
+    assert lp.shape == (3,) and np.isfinite(lp).all()
+
+
 def test_multifuture_pipeline(trained, workdir, capsys):
     from multiverse_tpu.cli import (
         multifuture_eval_trajs,
