@@ -91,6 +91,24 @@ def test_batching_invariance(setup):
             rtol=1e-4, atol=1e-4)
 
 
+def test_decode_horizon_invariance(setup):
+    """Freezing finished samples makes results independent of the
+    static decode horizon T_max (the pad-and-mask replacement for the
+    reference's per-sample dynamic pred_length)."""
+    cfg, params, inputs = setup
+    T = int(inputs.pred_lengths.max())
+    out1, prob1 = run_multifuture_inference(
+        params, inputs, cfg, batch_size=7, T_max=T)
+    out2, prob2 = run_multifuture_inference(
+        params, inputs, cfg, batch_size=7, T_max=T + 4)
+    for tid in inputs.traj_ids:
+        np.testing.assert_allclose(
+            np.asarray(out1[tid]), np.asarray(out2[tid]),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            prob1[tid][1], prob2[tid][1], rtol=1e-4, atol=1e-4)
+
+
 def test_save_outputs_roundtrip(tmp_path, setup):
     import pickle
 
