@@ -70,7 +70,10 @@ def conv2d(
     w = params["w"]
     # f32 path: force full-precision accumulation (XLA's DEFAULT uses
     # reduced-precision passes on both TPU and CPU). bf16 path: cast and
-    # let the MXU run natively, accumulating in f32.
+    # let the MXU run natively (f32 accumulation inside the MXU); the
+    # output is stored in the compute dtype — an f32-preferred output
+    # from bf16 operands has no valid transpose rule under jax.grad —
+    # and upcast for the f32 consumers (losses, log_softmax).
     precision = lax.Precision.HIGHEST
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -82,14 +85,14 @@ def conv2d(
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype or jnp.float32,
         precision=precision,
     )
     if "b" in params:
-        out = out + params["b"]
+        out = out + params["b"].astype(out.dtype)
     if activation is not None:
         out = activation(out)
-    return out
+    return out.astype(jnp.float32)
 
 
 def init_linear(

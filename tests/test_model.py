@@ -174,3 +174,27 @@ def test_loss_gradients_flow(rng):
     # every parameter gets some gradient (encoder regs etc.)
     nonzero = [float(np.abs(np.asarray(g)).max()) > 0 for g in flat]
     assert sum(nonzero) >= len(flat) - 2  # scene convs may be tiny but not 0
+
+
+def test_bf16_training_step_differentiable(rng):
+    """Gradients must flow through the full bf16 compute path (bf16
+    conv outputs have no transpose rule when f32-preferred)."""
+    import jax
+
+    from multiverse_tpu.models import init_params
+    from multiverse_tpu.train.trainer import (
+        build_optimizer,
+        init_train_state,
+        make_train_step,
+    )
+    from tests.synthetic import make_batch, tiny_config
+
+    cfg = tiny_config(compute_dtype="bfloat16", use_gnn=True,
+                      use_scene_enc=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch, _ = make_batch(rng, cfg, 4)
+    tx = build_optimizer(cfg, 16)
+    state, _ = init_train_state(params, cfg, 16)
+    step = make_train_step(cfg, tx)
+    state, losses = step(state, batch)
+    assert np.isfinite(float(losses["total"]))
