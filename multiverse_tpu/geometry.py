@@ -113,6 +113,13 @@ def rasterize_traj_np(
     return classes, targets
 
 
+def relative_to_abs(rel_traj: np.ndarray, start_pos) -> np.ndarray:
+    """Relative displacements [T, 2] → absolute coordinates, starting
+    from `start_pos` (reference: code/pred_utils.py:735-749)."""
+    return np.cumsum(np.asarray(rel_traj), axis=0) + np.asarray(
+        start_pos).reshape(1, 2)
+
+
 def one_hot_grid(cell_ids: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Flat cell ids [...,] → one-hot spatial maps [..., h, w, 1].
 

@@ -95,3 +95,12 @@ def test_one_hot_grid():
     assert float(oh[0, 0, 0, 0, 0]) == 1.0
     assert float(oh[1, 0, 17, 31, 0]) == 1.0
     assert float(jnp.sum(oh)) == 4.0
+
+
+def test_relative_to_abs():
+    from multiverse_tpu.geometry import relative_to_abs
+
+    rel = np.array([[1.0, 0.0], [1.0, 2.0], [0.0, -1.0]])
+    out = relative_to_abs(rel, [10.0, 5.0])
+    np.testing.assert_allclose(out, [[11.0, 5.0], [12.0, 7.0],
+                                     [12.0, 6.0]])
