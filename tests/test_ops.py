@@ -235,3 +235,29 @@ def test_pallas_gnn_kernel_matches(monkeypatch):
     out = np.asarray(gnn_step_pallas(h7, None, block_n=4, interpret=True))
     ref = np.asarray(gnn_step_neighbors(h7, None))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_cell_kernel_matches(rng):
+    """Fused cell kernel == cell step within bf16 rounding
+    (the kernel keeps f32 gates; the XLA bf16 path stores bf16 gates)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiverse_tpu.ops import ConvLSTMState, convlstm_init
+    from multiverse_tpu.ops.convlstm import convlstm_step
+    from multiverse_tpu.ops.pallas_cell import convlstm_step_pallas
+
+    params = convlstm_init(jax.random.PRNGKey(0), 8, 16, 3)
+    x = jnp.asarray(rng.randn(4, 6, 8, 8).astype(np.float32))
+    st = ConvLSTMState(
+        c=jnp.asarray(rng.randn(4, 6, 8, 16).astype(np.float32)),
+        h=jnp.asarray(rng.randn(4, 6, 8, 16).astype(np.float32)))
+    ref_h, ref_st = convlstm_step(params, x, st,
+                                  compute_dtype=jnp.bfloat16)
+    out_h, out_st = convlstm_step_pallas(params, x, st, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_h, np.float32), np.asarray(ref_h, np.float32),
+        atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(out_st.c, np.float32),
+        np.asarray(ref_st.c, np.float32), atol=0.05)
