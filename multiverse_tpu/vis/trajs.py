@@ -164,7 +164,9 @@ def grid_prob_heatmap(
     layer = np.zeros((imgh, imgw), np.float64)
     centers = np.asarray(grid_centers).reshape(-1, 2)
     for k, (cx, cy) in enumerate(centers):
-        layer[int(cy), int(cx)] = float(cell_probs[k])
+        # clamp centers from a different calibration into the frame
+        layer[min(int(cy), imgh - 1),
+              min(int(cx), imgw - 1)] = float(cell_probs[k])
     blurred = gaussian_filter(layer, sigma=sigma)
     span = blurred.max() - blurred.min()
     if span > 0:
