@@ -148,21 +148,37 @@ def diverse_beam_search(
     logprob0 = jnp.zeros((N, K), jnp.float32)
     beam_iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (N, K))
 
+    # fully-fused decode-step kernel (GNN + cell + readout in one VMEM
+    # pass, ops/pallas_decode.py) on the TPU bf16 path; the state-saving
+    # single-decoder variant needs the raw cell outputs and stays on
+    # the composed path
+    fused = (compute_dtype == jnp.bfloat16
+             and jax.default_backend() == "tpu"
+             and use_gnn and not save_states)
+
     def step(carry, t):
         state, prev_ids, logprob = carry
-        # --- GNN residual on hidden, then embed + cell (beams folded)
-        hh = _fold(state.h)
-        if use_gnn:
-            # fused pallas kernel on TPU bf16, exact jnp
-            # 9-neighbor reformulation elsewhere (see ops/gnn.py)
-            hh = hh + gnn_step_auto(hh, scene_nk,
-                                    compute_dtype=compute_dtype)
         emb = emb_table[prev_ids.reshape(-1)]
-        out, new_state_f = convlstm_step(
-            cell_p, emb, ConvLSTMState(c=_fold(state.c), h=hh),
-            compute_dtype=compute_dtype,
-        )
-        logits_t = conv2d(h2g_p, out, compute_dtype=compute_dtype)
+        if fused:
+            from multiverse_tpu.ops.pallas_decode import decode_step_pallas
+
+            out, new_state_f, logits_t = decode_step_pallas(
+                cell_p, h2g_p, emb,
+                ConvLSTMState(c=_fold(state.c), h=_fold(state.h)),
+                scene_nk, h, w)
+        else:
+            # --- GNN residual on hidden, then embed + cell (folded)
+            hh = _fold(state.h)
+            if use_gnn:
+                # pallas kernel on TPU bf16, exact jnp 9-neighbor
+                # reformulation elsewhere (see ops/gnn.py)
+                hh = hh + gnn_step_auto(hh, scene_nk,
+                                        compute_dtype=compute_dtype)
+            out, new_state_f = convlstm_step(
+                cell_p, emb, ConvLSTMState(c=_fold(state.c), h=hh),
+                compute_dtype=compute_dtype,
+            )
+            logits_t = conv2d(h2g_p, out, compute_dtype=compute_dtype)
         logits_t = logits_t.reshape(N, K, HW)
 
         # --- accumulate scores

@@ -1,0 +1,185 @@
+"""Fully-fused Pallas decode-step kernel: GNN + ConvLSTM cell + class
+readout in one VMEM pass per sample.
+
+The beam decode's inner loop is three memory-coupled stages — dense
+neighborhood attention on h, the fused gate conv on [emb ⊕ h+agg], and
+the 3×3 class-readout conv — each round-tripping sample state through
+HBM under XLA.  Fused per sample, the only HBM traffic is reading
+(h, c, emb row) and writing (h', c', logits); edges, attention, gates
+and the intermediate h+agg all live in VMEM.  All matmuls ride the MXU
+(dense attention, nine shifted gate matmuls, nine shifted readout
+matmuls).
+
+Semantics match the unfused ops exactly at bf16 (gates and attention
+accumulate f32 in VMEM — tighter than the XLA bf16 path which stores
+bf16 gates); asserted against the composed ops in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multiverse_tpu.ops.convlstm import ConvLSTMState
+from multiverse_tpu.ops.gnn import gnn_neighbor_mask
+
+
+def _decode_kernel(h_ref, c_ref, emb_ref, scene_ref, mask_ref,
+                   cell_w_ref, cell_b_ref, h2g_w_ref,
+                   h_out_ref, c_out_ref, logits_ref,
+                   *, forget_bias: float, H: int, W: int,
+                   with_scene: bool):
+    HW = H * W
+    D = h_ref.shape[-1]
+    E = emb_ref.shape[-1]
+    Cin = E + D
+
+    # ---- GNN: dense masked attention over grid cells (MXU)
+    h = h_ref[:]                                       # [HW, D] bf16
+    node = h
+    if with_scene:
+        node = jnp.concatenate([h, scene_ref[:]], axis=-1)
+    node_f = node.astype(jnp.float32)
+    sumsq = jnp.sum(node_f * node_f, axis=-1, keepdims=True)
+    node = (node_f * jax.lax.rsqrt(
+        jnp.maximum(sumsq, 1e-12))).astype(h.dtype)
+    edges = jnp.dot(node, node.T,
+                    preferred_element_type=jnp.float32)
+    edges = edges + mask_ref[:]
+    m = jnp.max(edges, axis=-1, keepdims=True)
+    e = jnp.exp(edges - m)
+    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(h.dtype)
+    agg = jnp.dot(attn, h, preferred_element_type=jnp.float32)
+    h2 = (h.astype(jnp.float32) + agg).astype(h.dtype)  # residual
+
+    # ---- ConvLSTM cell: 3x3 conv as 9 shifted MXU matmuls
+    xin = jnp.concatenate([emb_ref[:], h2], axis=-1)    # [HW, Cin]
+    xin_sp = jnp.pad(xin.reshape(H, W, Cin),
+                     ((1, 1), (1, 1), (0, 0)))
+    gates = jnp.zeros((HW, 4 * D), jnp.float32)
+    idx = 0
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            patch = xin_sp[dy:dy + H, dx:dx + W, :].reshape(HW, Cin)
+            gates = gates + jnp.dot(
+                patch, cell_w_ref[idx * Cin:(idx + 1) * Cin, :],
+                preferred_element_type=jnp.float32)
+            idx += 1
+    gates = gates + cell_b_ref[:]
+    i = gates[:, :D]
+    g = gates[:, D:2 * D]
+    f = gates[:, 2 * D:3 * D]
+    o = gates[:, 3 * D:]
+    c_old = c_ref[:].astype(jnp.float32)
+    new_c = (jax.nn.sigmoid(f + forget_bias) * c_old
+             + jax.nn.sigmoid(i) * jnp.tanh(g))
+    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+
+    # ---- class readout: 3x3 conv to one channel, as 9 shifted matmuls
+    nh_sp = jnp.pad(new_h.astype(h.dtype).reshape(H, W, D),
+                    ((1, 1), (1, 1), (0, 0)))
+    logits = jnp.zeros((HW, 128), jnp.float32)  # lane-padded output
+    idx = 0
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            patch = nh_sp[dy:dy + H, dx:dx + W, :].reshape(HW, D)
+            logits = logits + jnp.dot(
+                patch, h2g_w_ref[idx * D:(idx + 1) * D, :],
+                preferred_element_type=jnp.float32)
+            idx += 1
+
+    h_out_ref[:] = new_h.astype(h_out_ref.dtype)
+    c_out_ref[:] = new_c.astype(c_out_ref.dtype)
+    logits_ref[:] = logits
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "forget_bias", "interpret"))
+def decode_step_pallas(
+    cell_params: dict,
+    h2g_params: dict,
+    emb: jnp.ndarray,               # [N, H, W, E] embedded prev cell
+    state: ConvLSTMState,           # c/h [N, H, W, D]
+    scene_mean: Optional[jnp.ndarray],   # [N, H, W, C] or None
+    H: int,
+    W: int,
+    forget_bias: float = 1.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, ConvLSTMState, jnp.ndarray]:
+    """Fused step; returns (new_h, new state, logits [N, H, W, 1])."""
+    N = emb.shape[0]
+    D = state.h.shape[-1]
+    E = emb.shape[-1]
+    Cin = E + D
+    HW = H * W
+    dtype = jnp.bfloat16
+
+    h_rows = state.h.astype(dtype).reshape(N * HW, D)
+    c_rows = state.c.astype(dtype).reshape(N * HW, D)
+    emb_rows = emb.astype(dtype).reshape(N * HW, E)
+    with_scene = scene_mean is not None
+    if with_scene:
+        C = scene_mean.shape[-1]
+        scene_rows = scene_mean.astype(dtype).reshape(N * HW, C)
+    else:
+        C = 1
+        scene_rows = jnp.zeros((N * HW, 1), dtype)
+
+    mask = jnp.asarray(
+        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
+    cell_w = cell_params["kernel"].astype(dtype).reshape(
+        9 * Cin, 4 * D)
+    cell_b = cell_params["bias"].astype(jnp.float32).reshape(1, 4 * D)
+    # [3, 3, D, 1] → shift-major [9·D, 1], lane-padded to 128
+    h2g_w = h2g_params["w"].astype(dtype).reshape(9 * D, 1)
+    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 127)))
+
+    new_h, new_c, logits = pl.pallas_call(
+        functools.partial(_decode_kernel, forget_bias=forget_bias,
+                          H=H, W=W, with_scene=with_scene),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((HW, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, E), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, HW), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * Cin, 4 * D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * D, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((HW, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N * HW, D), dtype),
+            jax.ShapeDtypeStruct((N * HW, D), dtype),
+            jax.ShapeDtypeStruct((N * HW, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(h_rows, c_rows, emb_rows, scene_rows, mask,
+      cell_w, cell_b, h2g_w)
+
+    return (new_h.reshape(N, H, W, D),
+            ConvLSTMState(c=new_c.reshape(N, H, W, D),
+                          h=new_h.reshape(N, H, W, D)),
+            logits[:, :1].reshape(N, H, W, 1))

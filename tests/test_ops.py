@@ -261,3 +261,47 @@ def test_pallas_cell_kernel_matches(rng):
     np.testing.assert_allclose(
         np.asarray(out_st.c, np.float32),
         np.asarray(ref_st.c, np.float32), atol=0.05)
+
+
+def test_pallas_decode_step_matches_composition(rng):
+    """Fused decode-step kernel == GNN + cell + readout composition."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiverse_tpu.ops import (
+        ConvLSTMState,
+        conv2d,
+        convlstm_init,
+        convlstm_step,
+        gnn_step_neighbors,
+        init_conv,
+    )
+    from multiverse_tpu.ops.pallas_decode import decode_step_pallas
+
+    N, H, W, E, D, C = 3, 6, 8, 8, 16, 4
+    bf = jnp.bfloat16
+    cell_p = convlstm_init(jax.random.PRNGKey(0), E, D, 3)
+    h2g_p = init_conv(jax.random.PRNGKey(1), D, 1, 3, add_bias=False)
+    emb = jnp.asarray(rng.randn(N, H, W, E).astype(np.float32)).astype(bf)
+    st = ConvLSTMState(
+        c=jnp.asarray(rng.randn(N, H, W, D).astype(np.float32)).astype(bf),
+        h=jnp.asarray(rng.randn(N, H, W, D).astype(np.float32)).astype(bf))
+    scene = jnp.asarray(
+        rng.randn(N, H, W, C).astype(np.float32)).astype(bf)
+
+    agg = gnn_step_neighbors(st.h, scene, compute_dtype=bf)
+    st2 = ConvLSTMState(
+        c=st.c, h=(st.h.astype(jnp.float32) + agg).astype(bf))
+    out, ref_st = convlstm_step(cell_p, emb, st2, compute_dtype=bf)
+    ref_logits = conv2d(h2g_p, out, compute_dtype=bf)
+
+    fh, fst, flogits = decode_step_pallas(
+        cell_p, h2g_p, emb, st, scene, H, W, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fh, np.float32), np.asarray(out, np.float32),
+        atol=0.06)
+    np.testing.assert_allclose(
+        np.asarray(fst.c, np.float32), np.asarray(ref_st.c, np.float32),
+        atol=0.06)
+    np.testing.assert_allclose(
+        np.asarray(flogits), np.asarray(ref_logits), atol=0.06)
