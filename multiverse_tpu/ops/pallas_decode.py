@@ -58,19 +58,18 @@ def _decode_kernel(h_ref, c_ref, emb_ref, scene_ref, mask_ref,
     agg = jnp.dot(attn, h, preferred_element_type=jnp.float32)
     h2 = (h.astype(jnp.float32) + agg).astype(h.dtype)  # residual
 
-    # ---- ConvLSTM cell: 3x3 conv as 9 shifted MXU matmuls
+    # ---- ConvLSTM cell: 3x3 conv as ONE im2col MXU matmul (the
+    # concatenated [HW, 9·Cin] patch matrix lives in VMEM; K=9·Cin
+    # beats nine K=Cin matmuls on the MXU)
     xin = jnp.concatenate([emb_ref[:], h2], axis=-1)    # [HW, Cin]
     xin_sp = jnp.pad(xin.reshape(H, W, Cin),
                      ((1, 1), (1, 1), (0, 0)))
-    gates = jnp.zeros((HW, 4 * D), jnp.float32)
-    idx = 0
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            patch = xin_sp[dy:dy + H, dx:dx + W, :].reshape(HW, Cin)
-            gates = gates + jnp.dot(
-                patch, cell_w_ref[idx * Cin:(idx + 1) * Cin, :],
-                preferred_element_type=jnp.float32)
-            idx += 1
+    patches = jnp.concatenate(
+        [xin_sp[dy:dy + H, dx:dx + W, :].reshape(HW, Cin)
+         for dy in (0, 1, 2) for dx in (0, 1, 2)],
+        axis=-1)                                         # [HW, 9·Cin]
+    gates = jnp.dot(patches, cell_w_ref[:],
+                    preferred_element_type=jnp.float32)
     gates = gates + cell_b_ref[:]
     i = gates[:, :D]
     g = gates[:, D:2 * D]
@@ -81,18 +80,15 @@ def _decode_kernel(h_ref, c_ref, emb_ref, scene_ref, mask_ref,
              + jax.nn.sigmoid(i) * jnp.tanh(g))
     new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
 
-    # ---- class readout: 3x3 conv to one channel, as 9 shifted matmuls
+    # ---- class readout: 3x3 conv to one channel, as one im2col matmul
     nh_sp = jnp.pad(new_h.astype(h.dtype).reshape(H, W, D),
                     ((1, 1), (1, 1), (0, 0)))
-    logits = jnp.zeros((HW, 128), jnp.float32)  # lane-padded output
-    idx = 0
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            patch = nh_sp[dy:dy + H, dx:dx + W, :].reshape(HW, D)
-            logits = logits + jnp.dot(
-                patch, h2g_w_ref[idx * D:(idx + 1) * D, :],
-                preferred_element_type=jnp.float32)
-            idx += 1
+    nh_patches = jnp.concatenate(
+        [nh_sp[dy:dy + H, dx:dx + W, :].reshape(HW, D)
+         for dy in (0, 1, 2) for dx in (0, 1, 2)],
+        axis=-1)                                         # [HW, 9·D]
+    logits = jnp.dot(nh_patches, h2g_w_ref[:],
+                     preferred_element_type=jnp.float32)  # [HW, 128]
 
     h_out_ref[:] = new_h.astype(h_out_ref.dtype)
     c_out_ref[:] = new_c.astype(c_out_ref.dtype)
