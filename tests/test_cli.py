@@ -122,6 +122,24 @@ def test_train_simaug_cli(workdir, prepro):
     assert cfg["multiview_train"] is True
 
 
+def test_train_resume_from_checkpoint(trained, prepro, workdir):
+    """--load restores the best/latest params and continues training
+    (reference: code/train.py:38-43, pred_utils.initialize — optimizer
+    slots and step excluded, like the reference's var filtering)."""
+    from multiverse_tpu.cli import train
+
+    train.main([
+        prepro, trained, "toy", "--runId", "1", "--load",
+        "--batch_size", "4", "--num_epochs", "1",
+        "--save_period", "6", "--init_lr", "0.3",
+        *MODEL_FLAGS,
+    ])
+    outpath = os.path.join(trained, "toy", "01")
+    with open(os.path.join(outpath, "val_perf.json")) as f:
+        perf = json.load(f)
+    assert perf["best"]["step"] > 0
+
+
 def test_test_cli_beam_mode(trained, prepro, workdir, capsys):
     """mvt-test with beam search saves beam ids/logprobs in the output
     pickle (reference: code/pred_utils.py:379-394,519-531)."""
