@@ -198,3 +198,90 @@ def test_bf16_training_step_differentiable(rng):
     step = make_train_step(cfg, tx)
     state, losses = step(state, batch)
     assert np.isfinite(float(losses["total"]))
+
+
+def test_dual_scale_forward_loss_and_eval(rng):
+    """Both grid scales active (use_grids 1,1): per-scale heads, losses
+    and metrics (reference supports <=2 active scales,
+    code/pred_utils.py:124)."""
+    import jax
+
+    from multiverse_tpu.models import (
+        compute_loss,
+        init_params,
+        model_forward,
+    )
+    from tests.synthetic import make_batch, tiny_config
+
+    cfg = tiny_config(use_grids=(True, True), use_gnn=True,
+                      use_scene_enc=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch, _ = make_batch(rng, cfg, 3)
+    out = model_forward(params, batch, cfg, is_train=True)
+    assert set(out.class_logits) == {0, 1}
+    for i in (0, 1):
+        h, w = cfg.scene_grids[i]
+        assert out.class_logits[i].shape == (3, cfg.pred_len, h, w, 1)
+        assert out.reg_out[i].shape == (3, cfg.pred_len, h, w, 2)
+    total, parts = compute_loss(params, batch, out, cfg)
+    assert np.isfinite(float(total))
+    assert "grid0_class" in parts and "grid1_class" in parts
+
+    # gradient flows through both scales
+    def loss_fn(p):
+        o = model_forward(p, batch, cfg, is_train=True)
+        return compute_loss(p, batch, o, cfg)[0]
+
+    grads = jax.grad(loss_fn)(params)
+    g0 = jax.tree.leaves(grads["scales"]["0"])
+    g1 = jax.tree.leaves(grads["scales"]["1"])
+    assert all(np.isfinite(np.asarray(g)).all() for g in g0 + g1)
+    assert sum(float(np.abs(np.asarray(g)).sum()) for g in g1) > 0
+
+
+def test_dual_scale_evaluate(rng):
+    """evaluate() reports per-scale metrics with both scales active."""
+    import jax
+
+    from multiverse_tpu.data.dataset import TrajectoryDataset
+    from multiverse_tpu.models import init_params, model_forward
+    from multiverse_tpu.train.evaluate import evaluate
+    from tests.synthetic import make_batch, tiny_config
+    from multiverse_tpu import geometry
+
+    cfg = tiny_config(use_grids=(True, True))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    n = 6
+    batch, trajs = make_batch(rng, cfg, n)
+    data = {
+        "obs_grid_class": np.asarray(batch.obs_grid_class),
+        "pred_grid_class": np.asarray(batch.pred_grid_class),
+        "obs_scene": np.asarray(batch.obs_scene)[..., None],
+        "obs_traj": trajs[:, :cfg.obs_len],
+        "pred_traj": trajs[:, cfg.obs_len:],
+        "traj_key": ["v_%d_0" % i for i in range(n)],
+    }
+    for idx, i in enumerate(cfg.active_scales):
+        data["obs_grid_target_all_%d" % i] = np.asarray(
+            batch.obs_grid_target_all[idx])
+        data["pred_grid_target_all_%d" % i] = np.asarray(
+            batch.pred_grid_target_all[idx])
+    shared = {
+        "scene_feat": np.asarray(batch.scene_feat, np.uint8),
+    }
+    for i in range(cfg.num_scales):
+        h, w = cfg.scene_grids[i]
+        shared["grid_center_%d" % i] = geometry.grid_centers(
+            cfg.video_h, cfg.video_w, h, w)
+    ds = TrajectoryDataset(data, shared, cfg, "test")
+
+    def step_fn(b):
+        out = model_forward(params, b, cfg, is_train=False)
+        return out.class_logits, out.reg_out
+
+    perf = evaluate(ds, cfg, step_fn, batch_size=3, use_gt_grid=True)
+    assert "grid0_traj_ade" in perf and "grid1_traj_ade" in perf
+    # with GT cells the center-only error is bounded by a cell diagonal
+    h1, w1 = cfg.scene_grids[1]
+    diag = np.hypot(cfg.video_h / h1, cfg.video_w / w1)
+    assert perf["grid1_traj_centerOnly_ade"] <= diag
