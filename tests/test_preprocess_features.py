@@ -113,3 +113,55 @@ def test_filter_future_act():
     assert _filter_future_act(([1], [100], [0], [0]), 60) == [1]
     assert _filter_future_act(([0], [0], [7], [30]), 60) == [7]
     assert _filter_future_act(([0], [0], [7], [90]), 60) == [0]
+
+
+def test_reverse_xy_and_traj_pixel(tmp_path):
+    """ETH/UCY path: world-coordinate TSVs in (frame, pid, y, x) order
+    with grid rasterization from a separate pixel lookup
+    (reference: code/preprocess.py:76-78, 108-125)."""
+    import numpy as np
+
+    from multiverse_tpu.data.preprocess import (
+        PreprocessOptions,
+        preprocess_split,
+    )
+    from multiverse_tpu.geometry import xy_to_cell_np
+
+    traj_dir = tmp_path / "traj" / "train"
+    os.makedirs(traj_dir)
+    rng = np.random.RandomState(0)
+    T = 9
+    world = rng.randn(T, 2) * 3          # meters (x, y)
+    pixels = rng.uniform([10, 10], [950, 530], (T, 2))
+    # the TSV stores world coords REVERSED (y then x)
+    with open(traj_dir / "seq01.txt", "w") as f:
+        for t in range(T):
+            f.write("%d\t1\t%.4f\t%.4f\n" % (
+                t * 10, world[t, 1], world[t, 0]))
+    pixel_dir = tmp_path / "pixels"
+    os.makedirs(pixel_dir)
+    pixel_file = pixel_dir / "seq01.txt"
+    with open(pixel_file, "w") as f:
+        for t in range(T):
+            f.write("%d\t1\t%.3f\t%.3f\n" % (
+                t * 10, pixels[t, 0], pixels[t, 1]))
+    lst = tmp_path / "pixel.lst"
+    lst.write_text(str(pixel_file) + "\n")
+
+    opts = PreprocessOptions(
+        obs_len=4, pred_len=5, add_grid=True, add_all_reg=True,
+        reverse_xy=True, traj_pixel_lst=str(lst),
+        scene_h=12, scene_w=16, video_h=540, video_w=960,
+        grid_strides="2,4",
+    )
+    out = str(tmp_path / "data_train.npz")
+    preprocess_split(str(tmp_path / "traj"), "train", out, opts)
+    d = dict(np.load(out, allow_pickle=True))
+
+    # trajectories come back un-reversed (x, y) in world units
+    np.testing.assert_allclose(
+        d["obs_traj"][0], world[:4], atol=1e-3)
+    # grid cells follow the PIXEL lookup, not the world coords
+    h, w = 6, 8
+    expect = xy_to_cell_np(pixels[:4], 540, 960, h, w)
+    np.testing.assert_array_equal(d["obs_grid_class"][0][0], expect)
