@@ -97,6 +97,79 @@ def test_preprocess_npz_bit_parity(dataset):
                 ref[key], ours[key], err_msg="%s/%s" % (split, key))
 
 
+def test_preprocess_full_feature_parity(dataset):
+    """All optional features on (kp, person/other boxes, activities):
+    the reference preprocess and ours agree bit-for-bit on one video
+    (single video → deterministic order, so raw equality applies)."""
+    pytest.importorskip("tensorflow")
+    import pickle
+
+    from multiverse_tpu.cli import preprocess
+    from tests.synthetic import tiny_config, write_reference_format_dataset
+
+    root = os.path.join(dataset["root"], "full")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(3)
+    cfg = tiny_config()
+    traj_path, scene_path, id2name = write_reference_format_dataset(
+        root, cfg, rng, num_videos=1, frames_per_video=12)
+    paths = {p: os.path.join(root, p) for p in ("kp", "pb", "ob", "act")}
+    for split in ("train", "val", "test"):
+        for sub in paths.values():
+            os.makedirs(os.path.join(sub, split), exist_ok=True)
+        for fn in os.listdir(os.path.join(traj_path, split)):
+            videoname = os.path.splitext(fn)[0]
+            rows = np.loadtxt(
+                os.path.join(traj_path, split, fn), delimiter="\t")
+            kp, pb, ob, act = {}, {}, {}, {}
+            for fid, pid, x, y in rows:
+                key = "%d_%d" % (fid, pid)
+                kp[key] = rng.randn(17, 3).astype(np.float32)
+                pb[key] = np.array([x - 5, y - 20, x + 5, y], np.float32)
+                ob[key] = ([[0.0, 0.0, 9.0, 9.0]], [1])
+                # the reference's data contract: BG (0) never mixes
+                # with real activity ids
+                act[key] = ([1], [500], [21], [10])
+            for sub, d in zip(paths.values(), (kp, pb, ob, act)):
+                with open(os.path.join(
+                        sub, split, "%s.p" % videoname), "wb") as f:
+                    pickle.dump(d, f)
+
+    flags = [
+        "--obs_len", "4", "--pred_len", "5",
+        "--add_grid", "--add_all_reg", "--add_scene",
+        "--add_kp", "--kp_path", paths["kp"],
+        "--add_person_box", "--person_box_path", paths["pb"],
+        "--add_other_box", "--other_box_path", paths["ob"],
+        "--add_activity", "--activity_path", paths["act"],
+        "--scene_feat_path", scene_path, "--scene_id2name", id2name,
+        "--direct_scene_feat", "--scene_h", "12", "--scene_w", "16",
+        "--grid_strides", "2,4",
+    ]
+    preprocess.main([traj_path, os.path.join(root, "ours"), *flags])
+    r = subprocess.run(
+        [sys.executable, os.path.join(REFERENCE, "code", "preprocess.py"),
+         traj_path, os.path.join(root, "ref"), *flags],
+        capture_output=True, text=True, timeout=480)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    ref = dict(np.load(os.path.join(root, "ref", "data_train.npz"),
+                       allow_pickle=True))
+    ours = dict(np.load(os.path.join(root, "ours", "data_train.npz"),
+                        allow_pickle=True))
+    assert set(ref) == set(ours)
+    for key in ref:
+        a, b = ref[key], ours[key]
+        if a.dtype == object:
+            assert np.array_equal(
+                np.asarray(a, object).tolist(),
+                np.asarray(b, object).tolist()), key
+        else:
+            assert a.shape == b.shape, key
+            if a.size:
+                np.testing.assert_array_equal(a, b, err_msg=key)
+
+
 def test_tf_checkpoint_conversion_roundtrip(tmp_path):
     """Write a TF1-style checkpoint with the reference's variable names
     and shapes, convert it, and verify every value lands on the right
