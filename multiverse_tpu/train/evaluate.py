@@ -144,6 +144,10 @@ def evaluate(
                 perf["%s_fde" % scene] = 0.0
 
     if out_data is not None:
+        # numpy string array: the reference's evaluate_sdd parses
+        # numpy.str_/bytes seq ids, not plain python str
+        # (reference: SimAug/code/evaluate_sdd.py:14-19)
+        out_data["seq_ids"] = np.asarray(out_data["seq_ids"])
         with open(save_output, "wb") as f:
             pickle.dump(out_data, f)
         print("saved output at %s" % save_output)

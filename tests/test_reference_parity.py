@@ -97,6 +97,119 @@ def test_preprocess_npz_bit_parity(dataset):
                 ref[key], ours[key], err_msg="%s/%s" % (split, key))
 
 
+def test_evaluators_verbatim_on_our_outputs(dataset, tmp_path):
+    """The reference's evaluators run unmodified on our inference
+    pickles and print the same numbers our evaluators compute."""
+    import jax
+
+    from multiverse_tpu.config import MultiverseConfig
+    from multiverse_tpu.eval.multifuture import (
+        evaluate_multifuture_nll,
+        evaluate_multifuture_trajs,
+    )
+    from multiverse_tpu.eval.sdd import evaluate_sdd
+    from multiverse_tpu.inference import (
+        run_multifuture_inference,
+        save_outputs,
+        synthesize_multifuture_inputs,
+    )
+    from multiverse_tpu.models import init_params
+    from tests.synthetic import write_multifuture_dataset
+
+    cfg = MultiverseConfig(
+        obs_len=4, pred_len=5,
+        scene_h=12, scene_w=16, video_h=540, video_w=960,
+        enc_hidden_size=16, dec_hidden_size=16,
+        scene_conv_dim=8, emb_size=8,
+        scene_grid_strides=(2, 4), use_grids=(True, False),
+        use_beam_search=True, beam_size=4,
+        diverse_beam=True, diverse_gamma=0.01).validate()
+    rng = np.random.RandomState(9)
+    _, mf_path, _, _ = write_multifuture_dataset(
+        str(tmp_path), cfg, rng, num_traj=4, max_pred_len=8)
+
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    inputs = synthesize_multifuture_inputs(cfg, num_traj=4,
+                                           max_pred_len=8)
+    # give our synthetic inputs the GT-matched ids/lengths
+    import pickle as pkl
+
+    gt_ids = sorted(
+        os.path.splitext(f)[0] for f in os.listdir(mf_path))
+    lengths = []
+    for tid in gt_ids:
+        with open(os.path.join(mf_path, "%s.p" % tid), "rb") as f:
+            gt = pkl.load(f)
+        lengths.append(max(len(gt[k]["x_agent_traj"]) for k in gt))
+    inputs = inputs._replace(
+        traj_ids=gt_ids,
+        pred_lengths=np.asarray(lengths, np.int32))
+
+    out, prob = run_multifuture_inference(params, inputs, cfg,
+                                          batch_size=4)
+    traj_p = str(tmp_path / "o.traj.p")
+    prob_p = str(tmp_path / "o.prob.p")
+    save_outputs(out, prob, traj_p, prob_p)
+
+    ours_ade = evaluate_multifuture_trajs(out, mf_path)
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REFERENCE, "code", "multifuture_eval_trajs.py"),
+         mf_path, traj_p],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-1500:]
+    nums = [float(v) for v in r.stdout.strip().splitlines()[-1].split()]
+    np.testing.assert_allclose(nums, [
+        ours_ade["minade_45-degree"], ours_ade["minade_top-down"],
+        ours_ade["minade_all"], ours_ade["minfde_45-degree"],
+        ours_ade["minfde_top-down"], ours_ade["minfde_all"]],
+        rtol=1e-9)
+
+    ours_nll = evaluate_multifuture_nll(
+        prob, mf_path, scene_h=6, scene_w=8,
+        video_h=540, video_w=960)
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REFERENCE, "code",
+                      "multifuture_eval_trajs_prob.py"),
+         mf_path, prob_p, "--scene_h", "6", "--scene_w", "8",
+         "--video_h", "540", "--video_w", "960"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-1500:]
+    nums = [float(v) for v in r.stdout.strip().splitlines()[-1].split()]
+    expect = [ours_nll["nll_T=%d" % t] for t in (1, 2, 3, 4, 5)]
+    np.testing.assert_allclose(nums, expect, rtol=1e-9)
+
+    # SDD rescaled eval: reference script on a synthetic output pickle
+    import pickle
+
+    gt = rng.rand(3, 4, 2) * 100
+    data = {
+        "pred_gt_list": list(gt),
+        "grid0_pred_traj": list(gt + 2.0),
+        "seq_ids": np.asarray(
+            ["videoA_0_10_1", "videoB_1_20_2", "videoB_1_30_3"]),
+    }
+    outp = str(tmp_path / "sdd.p")
+    with open(outp, "wb") as f:
+        pickle.dump(data, f)
+    changelst = tmp_path / "change.lst"
+    changelst.write_text(
+        "videoA_0,1000x2000,True\nvideoB_1,1920x1080,False\n")
+    ours_sdd = evaluate_sdd(outp, str(changelst))
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REFERENCE, "SimAug", "code", "evaluate_sdd.py"),
+         str(changelst), outp],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-1500:]
+    line = r.stdout.strip().splitlines()[-1]
+    ade_fde = line.split("ade/fde ")[1].split(",")[:2]
+    np.testing.assert_allclose(
+        [float(ade_fde[0]), float(ade_fde[1])],
+        [ours_sdd["ade"], ours_sdd["fde"]], rtol=1e-9)
+
+
 def test_preprocess_full_feature_parity(dataset):
     """All optional features on (kp, person/other boxes, activities):
     the reference preprocess and ours agree bit-for-bit on one video
