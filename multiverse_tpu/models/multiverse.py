@@ -44,6 +44,7 @@ from multiverse_tpu.ops import (
     convlstm_init,
     convlstm_scan,
     convlstm_step,
+    gnn_step_auto,
     gnn_step_neighbors,
     init_conv,
 )
@@ -179,6 +180,7 @@ def greedy_decode(
     feedback: str = "onehot",        # onehot | raw | teacher
     pred_gt: Optional[jnp.ndarray] = None,     # [N, T_pred, h, w, P]
     compute_dtype=None,
+    allow_pallas_gnn: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Autoregressive ConvLSTM decode via lax.scan.
 
@@ -203,9 +205,13 @@ def greedy_decode(
         state, x = carry
         if use_gnn:
             # exact 9-neighbor reformulation of the masked dense
-            # attention (see ops/gnn.py)
-            agg = gnn_step_neighbors(state.h, scene_mean,
-                                     compute_dtype=compute_dtype)
+            # attention; pallas only when the caller guarantees no
+            # differentiation (the kernel has no VJP and SimAug
+            # attacks differentiate through this decode)
+            gnn = gnn_step_auto if allow_pallas_gnn \
+                else gnn_step_neighbors
+            agg = gnn(state.h, scene_mean,
+                      compute_dtype=compute_dtype)
             state = ConvLSTMState(c=state.c, h=state.h + agg)
         emb = conv2d(emb_p, x, activation=act, compute_dtype=compute_dtype)
         out, state = convlstm_step(cell_p, emb, state,
