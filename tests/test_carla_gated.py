@@ -1,0 +1,154 @@
+"""Exercise the carla-gated adapter/replay/scene code against the
+in-memory fake carla (tests/fake_carla.py) — covers spawn/control/
+destroy batching, spawn-failure policies, collision plumbing, static
+scene setup, and the candidate replay loop."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests import fake_carla
+
+
+@pytest.fixture
+def carla_env():
+    mod = fake_carla.install()
+    yield mod
+    sys.modules.pop("carla", None)
+    # the adapter imports carla lazily per-instance; nothing cached
+
+
+def _walker_bps(world):
+    return (world.get_blueprint_library().filter(
+        "walker.pedestrian.*"), [0])
+
+
+def _vehicle_bps(world):
+    return (world.get_blueprint_library().filter("vehicle.*"), [0])
+
+
+def _controls(rows, fps=25.0, **kw):
+    from multiverse_tpu.forking_paths.controls import traj_to_controls
+
+    return traj_to_controls(np.asarray(rows, np.float64), -1, -1,
+                            fps, **kw)[0]
+
+
+def test_adapter_spawn_control_destroy(carla_env):
+    from multiverse_tpu.forking_paths.sim import (
+        CarlaAdapter,
+        SimState,
+        plan_frame,
+    )
+
+    client = carla_env.Client()
+    world = client.get_world()
+    adapter = CarlaAdapter(world, client, _walker_bps(world),
+                           _vehicle_bps(world))
+    state = SimState()
+    ped = _controls([[0, 1, 0, 0, 0.5], [1, 1, 1, 0, 0.5],
+                     [2, 1, 2, 0, 0.5]])
+    veh = _controls([[0, 9, 5, 5, 0], [1, 9, 6, 6, 0],
+                     [2, 9, 7, 7, 0]], z_to=0.0)
+
+    adapter.execute(plan_frame(0, ped, veh, state), state)
+    # walker + its collision sensor + vehicle spawned
+    kinds = sorted(a.type_id for a in world.actors)
+    assert kinds == ["sensor.other.collision", "vehicle.fake",
+                     "walker.pedestrian"]
+    veh_actor = [a for a in world.actors
+                 if a.type_id == "vehicle.fake"][0]
+    assert veh_actor.physics is False  # teleported vehicles
+
+    adapter.execute(plan_frame(1, ped, veh, state), state)
+    walker = [a for a in world.actors
+              if a.type_id == "walker.pedestrian"][0]
+    assert walker.controls, "walker received a WalkerControl"
+    assert walker.controls[-1].speed > 0
+    # vehicle teleported via ApplyTransform
+    assert veh_actor.get_transform().location.x == pytest.approx(6.0)
+
+    adapter.execute(plan_frame(2, ped, veh, state), state)
+    assert not walker.is_alive  # destroyed at the final record
+    adapter.cleanup()
+    assert all(not a.is_alive for a in world.actors
+               if a.type_id.startswith("sensor"))
+
+
+def test_adapter_walker_spawn_failure_policies(carla_env):
+    from multiverse_tpu.forking_paths.sim import (
+        CarlaAdapter,
+        SimState,
+        plan_frame,
+    )
+
+    ped = _controls([[0, 1, 0, 0, 0.5], [1, 1, 1, 0, 0.5],
+                     [2, 1, 2, 0, 0.5]])
+
+    # tolerant mode: spawn failure skips the walker, keeps running
+    client = carla_env.Client()
+    world = client.get_world()
+    world.fail_walker_spawns = 1
+    adapter = CarlaAdapter(world, client, _walker_bps(world),
+                           _vehicle_bps(world))
+    state = SimState()
+    out = adapter.execute(plan_frame(0, ped, {}, state), state)
+    assert out is not None
+    assert 1.0 not in state.peds  # rolled back, retried next frame
+
+    # strict mode (candidate validation): returns None
+    client2 = carla_env.Client()
+    world2 = client2.get_world()
+    world2.fail_walker_spawns = 1
+    adapter2 = CarlaAdapter(world2, client2, _walker_bps(world2),
+                            _vehicle_bps(world2),
+                            exit_if_spawn_fail=True)
+    state2 = SimState()
+    assert adapter2.execute(plan_frame(0, ped, {}, state2),
+                            state2) is None
+
+
+def test_replay_moment_success_and_spawn_fail(carla_env):
+    from multiverse_tpu.forking_paths.candidates import replay_moment
+
+    ped = _controls([[0, 1, 0, 0, 0.5], [5, 1, 1, 0, 0.5],
+                     [10, 1, 2, 0, 0.5]])
+    client = carla_env.Client()
+    world = client.get_world()
+    ok, reason, veh_fail = replay_moment(
+        client, world, _walker_bps(world), _vehicle_bps(world),
+        ped, {}, start_frame=0, total_frames=10)
+    assert ok and reason == "" and veh_fail is False
+    assert world.frame == 10  # ticked once per frame
+
+    world2 = carla_env.Client().get_world()
+    world2.fail_walker_spawns = 99
+    client2 = carla_env.Client(world2)
+    ok, reason, _ = replay_moment(
+        client2, world2, _walker_bps(world2), _vehicle_bps(world2),
+        ped, {}, start_frame=0, total_frames=10)
+    assert not ok and reason == "Ped spawn fails."
+
+
+def test_scene_setup(carla_env):
+    from multiverse_tpu.forking_paths.scenes import (
+        SceneConfig,
+        StaticCar,
+        Weather,
+        apply_weather,
+        spawn_static_cars,
+    )
+
+    client = carla_env.Client()
+    world = client.get_world()
+    scene = SceneConfig(
+        name="0400", map="Town05", fps=30.0,
+        weather=Weather(cloudyness=20.0, sun_altitude_angle=65.0),
+        static_cars=(StaticCar("vehicle.tesla.model3",
+                               (1.0, 2.0, 0.3), (0.0, 90.0, 0.0)),))
+    apply_weather(world, scene.weather)
+    assert world.weather.params["cloudyness"] == 20.0
+    actors: list = []
+    spawn_static_cars(world, client, scene, actors)
+    assert len(actors) == 1
