@@ -74,8 +74,18 @@ class _BoundingBox:
 _ids = itertools.count(1)
 
 
+class Image:
+    """Fake sensor frame: solid-value BGRA buffer."""
+
+    def __init__(self, frame, width, height, value=7):
+        self.frame = frame
+        self.width = width
+        self.height = height
+        self.raw_data = bytes([value]) * (width * height * 4)
+
+
 class Actor:
-    def __init__(self, type_id, transform):
+    def __init__(self, type_id, transform, bp=None):
         self.id = next(_ids)
         self.type_id = type_id
         self._transform = transform
@@ -84,6 +94,7 @@ class Actor:
         self.physics = True
         self.controls: List = []
         self._listener = None
+        self.bp = bp
 
     def get_transform(self):
         return self._transform
@@ -153,11 +164,15 @@ class World:
         if "walker" in bp.name and self.fail_walker_spawns > 0:
             self.fail_walker_spawns -= 1
             return None
-        actor = Actor(
-            "sensor.other.collision" if "sensor" in bp.name
-            else ("walker.pedestrian" if "walker" in bp.name
-                  else "vehicle.fake"),
-            transform)
+        if "sensor.camera" in bp.name:
+            type_id = bp.name
+        elif "sensor" in bp.name:
+            type_id = "sensor.other.collision"
+        elif "walker" in bp.name:
+            type_id = "walker.pedestrian"
+        else:
+            type_id = "vehicle.fake"
+        actor = Actor(type_id, transform, bp=bp)
         self.actors.append(actor)
         return actor
 
@@ -173,6 +188,13 @@ class World:
 
     def tick(self):
         self.frame += 1
+        for actor in self.actors:
+            if (actor.is_alive and actor._listener is not None
+                    and actor.type_id.startswith("sensor.camera")):
+                w = int(actor.bp.attrs.get("image_size_x", 64))
+                h = int(actor.bp.attrs.get("image_size_y", 48))
+                value = 200 if "semantic" in actor.type_id else 7
+                actor._listener(Image(self.frame, w, h, value))
         return self.frame
 
 

@@ -152,3 +152,45 @@ def test_scene_setup(carla_env):
     actors: list = []
     spawn_static_cars(world, client, scene, actors)
     assert len(actors) == 1
+
+
+def test_record_moment_end_to_end(carla_env, tmp_path):
+    """The full rendering loop against the fake backend: sensor
+    queues, per-frame projected boxes, mp4 encoding, bbox json."""
+    import json
+    import os
+
+    import cv2
+
+    from multiverse_tpu.forking_paths.camera import CameraRig, Transform
+    from multiverse_tpu.forking_paths.recorder import record_moment
+    from multiverse_tpu.forking_paths.scenes import SceneConfig, Weather
+
+    client = carla_env.Client()
+    scene = SceneConfig(name="0400", map="Town05", fps=25.0,
+                        weather=Weather())
+    # camera behind origin looking +x so spawned actors are in frame
+    rigs = [CameraRig(Transform(x=-15.0, z=3.0), 64, 48, 90.0)]
+    ped = _controls([[0, 1, 0, 0, 0.5], [5, 1, 1, 0, 0.5],
+                     [10, 1, 2, 0, 0.5]])
+    out = record_moment(
+        client, scene, rigs, ped, {}, total_frames=10,
+        out_path=str(tmp_path), moment_name="0400_0_1_0_a",
+        x_agent_pid=1.0)
+    name = "0400_0_1_0_a_cam1"
+    assert name in out
+    vcap = cv2.VideoCapture(out[name])
+    assert vcap.isOpened()
+    assert int(vcap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
+    vcap.release()
+    assert os.path.exists(
+        os.path.join(tmp_path, "videos_seg", "%s.mp4" % name))
+    with open(os.path.join(tmp_path, "bbox", "%s.json" % name)) as f:
+        boxes = json.load(f)
+    assert boxes, "walker boxes recorded"
+    assert all(b["class_name"] == "Person" for b in boxes)
+    assert any(b["is_x_agent"] == 1 for b in boxes)
+    x1, y1, w, h = boxes[0]["bbox"]
+    assert 0 <= x1 <= 64 and w > 0
+    # sync mode restored off afterwards
+    assert client.get_world().settings.synchronous_mode is False
