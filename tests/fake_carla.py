@@ -252,6 +252,14 @@ class Client:
     def get_world(self):
         return self.world
 
+    def load_world(self, map_name):
+        self.world = World()
+        self.world.map_name = map_name
+        return self.world
+
+    def set_timeout(self, t):
+        pass
+
     def apply_batch_sync(self, batch):
         self.applied.append(batch)
         responses = []

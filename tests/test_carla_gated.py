@@ -194,3 +194,48 @@ def test_record_moment_end_to_end(carla_env, tmp_path):
     assert 0 <= x1 <= 64 and w > 0
     # sync mode restored off afterwards
     assert client.get_world().settings.synchronous_mode is False
+
+
+def test_find_candidate_moments_sweep(carla_env, tmp_path):
+    """The auto_moment_candidates sweep: window extraction + replay
+    validation + success-record schema over real trajectory files."""
+    from multiverse_tpu.forking_paths.candidates import (
+        find_candidate_moments,
+        save_candidates,
+    )
+    from multiverse_tpu.forking_paths.scenes import (
+        SceneConfig,
+        SceneRegistry,
+        Weather,
+    )
+
+    rows = ["%d\t1\t%.2f\t%.2f\t0.5" % (f, 0.2 * f, 0.0)
+            for f in range(0, 100, 5)]
+    traj_file = tmp_path / "VIRAT_S_040000_00.txt"
+    traj_file.write_text("\n".join(rows) + "\n")
+
+    registry = SceneRegistry(
+        scenes={"0400": SceneConfig("0400", "Town05", 25.0, Weather())},
+        cameras={})
+
+    def get_scene(name):
+        return name.split("_S_")[-1][:4]
+
+    client = carla_env.Client()
+    success, fails = find_candidate_moments(
+        client, [str(traj_file)], registry, get_scene,
+        moment_length=2.0, test_skip=5)
+    assert "0400" in success and success["0400"]
+    rec = success["0400"][0]
+    assert rec["scenename"] == "0400"
+    assert rec["ped_controls"]          # rebased controls present
+    assert 0 in rec["ped_controls"]
+    assert rec["x_agents"] == {}
+    save_candidates(success, str(tmp_path / "moments"))
+    import json
+    import os
+
+    with open(tmp_path / "moments" / "0400.json") as f:
+        loaded = json.load(f)
+    assert loaded[0]["original_start_frame_id"] == rec[
+        "original_start_frame_id"]
