@@ -95,6 +95,230 @@ def _decode_kernel(h_ref, c_ref, emb_ref, scene_ref, mask_ref,
     logits_ref[:] = logits
 
 
+def _decode_kernel_v2(ids_ref, h_ref, c_ref, scene_ref, mask_ref,
+                      cell_wh_ref, cell_b_ref, h2g_w_ref, bg_ref,
+                      dev_ref,
+                      h_out_ref, c_out_ref, logits_ref,
+                      gpad_ref,
+                      *, forget_bias: float, H: int, W: int,
+                      with_scene: bool):
+    """v2: the previous-cell embedding's gate contribution arrives as
+    a per-id 5×5 deviation slab (scalar-prefetch indexed) plus a
+    constant background map, so the im2col matmul runs on the h-part
+    only (K = 9·D instead of 9·(E+D) — an ~11% FLOP cut).
+
+    **Not wired in**: correct in interpret mode (tested vs v1), but the
+    current Mosaic lowering rejects the dynamic-offset vector store —
+    "cannot statically prove that index in dimension 1 is a multiple
+    of 8" — because the slab lands at arbitrary cell coordinates.
+    Revisit with tpu.dynamic_rotate-based placement or once unaligned
+    dynamic stores land."""
+    HW = H * W
+    D = h_ref.shape[-1]
+    D4 = cell_wh_ref.shape[-1]
+
+    h = h_ref[:]
+    node = h
+    if with_scene:
+        node = jnp.concatenate([h, scene_ref[:]], axis=-1)
+    node_f = node.astype(jnp.float32)
+    sumsq = jnp.sum(node_f * node_f, axis=-1, keepdims=True)
+    node = (node_f * jax.lax.rsqrt(
+        jnp.maximum(sumsq, 1e-12))).astype(h.dtype)
+    edges = jnp.dot(node, node.T, preferred_element_type=jnp.float32)
+    edges = edges + mask_ref[:]
+    m = jnp.max(edges, axis=-1, keepdims=True)
+    e = jnp.exp(edges - m)
+    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(h.dtype)
+    agg = jnp.dot(attn, h, preferred_element_type=jnp.float32)
+    h2 = (h.astype(jnp.float32) + agg).astype(h.dtype)
+
+    h2_sp = jnp.pad(h2.reshape(H, W, D), ((1, 1), (1, 1), (0, 0)))
+    patches = jnp.concatenate(
+        [h2_sp[dy:dy + H, dx:dx + W, :].reshape(HW, D)
+         for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=-1)
+    gates_h = jnp.dot(patches, cell_wh_ref[:],
+                      preferred_element_type=jnp.float32)
+
+    # place the id's 5x5 deviation into a padded scratch (ref stores
+    # support dynamic pl.ds offsets; value-level dus does not lower),
+    # add the constant background map
+    idx = ids_ref[pl.program_id(0)]
+    y0 = idx // W
+    x0 = idx % W
+    gpad_ref[:] = jnp.zeros((H + 4, W + 4, D4), jnp.float32)
+    gpad_ref[pl.ds(y0, 5), pl.ds(x0, 5), :] = \
+        dev_ref[0].reshape(5, 5, D4).astype(jnp.float32)
+    gates = (gates_h.reshape(H, W, D4)
+             + gpad_ref[2:2 + H, 2:2 + W, :]
+             + bg_ref[:].astype(jnp.float32)).reshape(HW, D4)
+    gates = gates + cell_b_ref[:]
+    D_ = D
+    i = gates[:, :D_]
+    g = gates[:, D_:2 * D_]
+    f = gates[:, 2 * D_:3 * D_]
+    o = gates[:, 3 * D_:]
+    c_old = c_ref[:].astype(jnp.float32)
+    new_c = (jax.nn.sigmoid(f + forget_bias) * c_old
+             + jax.nn.sigmoid(i) * jnp.tanh(g))
+    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+
+    nh_sp = jnp.pad(new_h.astype(h.dtype).reshape(H, W, D),
+                    ((1, 1), (1, 1), (0, 0)))
+    nh_patches = jnp.concatenate(
+        [nh_sp[dy:dy + H, dx:dx + W, :].reshape(HW, D)
+         for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=-1)
+    logits = jnp.dot(nh_patches, h2g_w_ref[:],
+                     preferred_element_type=jnp.float32)
+
+    h_out_ref[:] = new_h.astype(h_out_ref.dtype)
+    c_out_ref[:] = new_c.astype(c_out_ref.dtype)
+    logits_ref[:] = logits
+
+
+def build_emb_gates_tables(emb_params: dict, cell_params: dict,
+                           H: int, W: int, act, dtype=jnp.bfloat16):
+    """Precompute (background [H, W, 4D], deviations [HW, 25, 4D]) —
+    the emb-part gate contribution of every possible previous cell.
+
+    The embedding map of a one-hot cell is tanh(conv(onehot) + b): a
+    constant tanh(b) background everywhere plus a compact 3×3 stamp,
+    so its cell-conv contribution is a constant map plus a 5×5
+    deviation around the cell."""
+    from multiverse_tpu.geometry import one_hot_grid
+    from multiverse_tpu.ops import conv2d
+
+    HW = H * W
+    D4 = cell_params["kernel"].shape[-1]
+    E = emb_params["w"].shape[-1]
+
+    basis = one_hot_grid(jnp.arange(HW), H, W)           # [HW, H, W, 1]
+    emb_maps = conv2d(emb_params, basis, activation=act,
+                      compute_dtype=dtype)               # [HW, H, W, E]
+    bg_emb = conv2d(emb_params, jnp.zeros((1, H, W, 1)),
+                    activation=act, compute_dtype=dtype)  # [1, H, W, E]
+
+    kern = cell_params["kernel"][:, :, :E, :].astype(dtype)
+
+    def conv_emb(x):
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), kern, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    full = conv_emb(emb_maps)                            # [HW, H, W, 4D]
+    background = conv_emb(bg_emb)[0]                     # [H, W, 4D]
+    dev = full - background[None]
+    dev_p = jnp.pad(dev, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    ys = jnp.arange(HW) // W
+    xs = jnp.arange(HW) % W
+
+    def window(i, y, x):
+        return jax.lax.dynamic_slice(
+            dev_p[i], (y, x, 0), (5, 5, D4))
+
+    windows = jax.vmap(window)(jnp.arange(HW), ys, xs)   # [HW, 5, 5, 4D]
+    return (background.astype(dtype),
+            windows.reshape(HW, 25, D4).astype(dtype))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "forget_bias", "interpret"))
+def decode_step_pallas_v2(
+    cell_params: dict,
+    h2g_params: dict,
+    prev_ids: jnp.ndarray,          # [N] int32 previous cells
+    emb_bg: jnp.ndarray,            # [H, W, 4D] background gates
+    emb_dev: jnp.ndarray,           # [HW, 25, 4D] per-id deviations
+    state: ConvLSTMState,
+    scene_mean: Optional[jnp.ndarray],
+    H: int,
+    W: int,
+    forget_bias: float = 1.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, ConvLSTMState, jnp.ndarray]:
+    """v2 fused step: h-only gate matmul + table-based emb gates."""
+    N = prev_ids.shape[0]
+    D = state.h.shape[-1]
+    E = cell_params["kernel"].shape[2] - D
+    HW = H * W
+    dtype = jnp.bfloat16
+
+    h_rows = state.h.astype(dtype).reshape(N * HW, D)
+    c_rows = state.c.astype(dtype).reshape(N * HW, D)
+    with_scene = scene_mean is not None
+    if with_scene:
+        C = scene_mean.shape[-1]
+        scene_rows = scene_mean.astype(dtype).reshape(N * HW, C)
+    else:
+        C = 1
+        scene_rows = jnp.zeros((N * HW, 1), dtype)
+
+    mask = jnp.asarray(
+        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
+    # h-part rows of the fused kernel, shift-major
+    kern = cell_params["kernel"].astype(dtype)           # [3,3,E+D,4D]
+    cell_wh = kern[:, :, E:, :].reshape(9 * D, 4 * D)
+    cell_b = cell_params["bias"].astype(jnp.float32).reshape(1, 4 * D)
+    h2g_w = h2g_params["w"].astype(dtype).reshape(9 * D, 1)
+    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 127)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((HW, D), lambda i, ids: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, D), lambda i, ids: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, C), lambda i, ids: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, HW), lambda i, ids: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * D, 4 * D), lambda i, ids: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * D), lambda i, ids: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * D, 128), lambda i, ids: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W, 4 * D), lambda i, ids: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # per-id deviation slab fetched by the prefetched ids
+            pl.BlockSpec((1, 25, 4 * D), lambda i, ids: (ids[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((HW, D), lambda i, ids: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, D), lambda i, ids: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, 128), lambda i, ids: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((H + 4, W + 4, 4 * D), jnp.float32),
+        ],
+    )
+    new_h, new_c, logits = pl.pallas_call(
+        functools.partial(
+            _decode_kernel_v2, forget_bias=forget_bias, H=H, W=W,
+            with_scene=with_scene),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((N * HW, D), dtype),
+            jax.ShapeDtypeStruct((N * HW, D), dtype),
+            jax.ShapeDtypeStruct((N * HW, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(prev_ids.astype(jnp.int32), h_rows, c_rows, scene_rows, mask,
+      cell_wh, cell_b, h2g_w, emb_bg, emb_dev)
+
+    return (new_h.reshape(N, H, W, D),
+            ConvLSTMState(c=new_c.reshape(N, H, W, D),
+                          h=new_h.reshape(N, H, W, D)),
+            logits[:, :1].reshape(N, H, W, 1))
+
+
 @functools.partial(
     jax.jit, static_argnames=("H", "W", "forget_bias", "interpret"))
 def decode_step_pallas(

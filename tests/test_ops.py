@@ -305,3 +305,50 @@ def test_pallas_decode_step_matches_composition(rng):
         atol=0.06)
     np.testing.assert_allclose(
         np.asarray(flogits), np.asarray(ref_logits), atol=0.06)
+
+
+def test_pallas_decode_v2_matches_v1(rng):
+    """v2 (emb gate tables + scalar prefetch) == v1 in interpret mode
+    (not wired on TPU: Mosaic dynamic-store alignment — see
+    pallas_decode.py docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiverse_tpu.geometry import one_hot_grid
+    from multiverse_tpu.ops import (
+        ConvLSTMState,
+        conv2d,
+        convlstm_init,
+        init_conv,
+    )
+    from multiverse_tpu.ops.layers import get_activation
+    from multiverse_tpu.ops.pallas_decode import (
+        build_emb_gates_tables,
+        decode_step_pallas,
+        decode_step_pallas_v2,
+    )
+
+    N, H, W, E, D, C = 3, 6, 8, 8, 16, 4
+    bf = jnp.bfloat16
+    act = get_activation("tanh")
+    cell_p = convlstm_init(jax.random.PRNGKey(0), E, D, 3)
+    h2g_p = init_conv(jax.random.PRNGKey(1), D, 1, 3, add_bias=False)
+    emb_p = init_conv(jax.random.PRNGKey(2), 1, E, 3)
+    ids = jnp.asarray(rng.randint(0, H * W, N).astype(np.int32))
+    st = ConvLSTMState(
+        c=jnp.asarray(rng.randn(N, H, W, D).astype(np.float32)).astype(bf),
+        h=jnp.asarray(rng.randn(N, H, W, D).astype(np.float32)).astype(bf))
+    scene = jnp.asarray(
+        rng.randn(N, H, W, C).astype(np.float32)).astype(bf)
+    basis = one_hot_grid(jnp.arange(H * W), H, W)
+    emb_table = conv2d(emb_p, basis, activation=act, compute_dtype=bf)
+    h1, st1, l1 = decode_step_pallas(
+        cell_p, h2g_p, emb_table[ids], st, scene, H, W, interpret=True)
+    bg, dev = build_emb_gates_tables(emb_p, cell_p, H, W, act)
+    h2, st2, l2 = decode_step_pallas_v2(
+        cell_p, h2g_p, ids, bg, dev, st, scene, H, W, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(h1, np.float32), np.asarray(h2, np.float32),
+        atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(l2), atol=0.05)
