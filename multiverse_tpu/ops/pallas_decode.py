@@ -107,12 +107,13 @@ def _decode_kernel_v2(ids_ref, h_ref, c_ref, scene_ref, mask_ref,
     constant background map, so the im2col matmul runs on the h-part
     only (K = 9·D instead of 9·(E+D) — an ~11% FLOP cut).
 
-    **Not wired in**: correct in interpret mode (tested vs v1), but the
-    current Mosaic lowering rejects the dynamic-offset vector store —
-    "cannot statically prove that index in dimension 1 is a multiple
-    of 8" — because the slab lands at arbitrary cell coordinates.
-    Revisit with tpu.dynamic_rotate-based placement or once unaligned
-    dynamic stores land."""
+    **Not wired in**: correct (tested vs v1 in interpret mode) and
+    compiles on TPU via corner-seed + padded tpu.dynamic_rotate
+    placement (unaligned dynamic vector stores are rejected by
+    Mosaic), but measures only ~1% faster than v1 at beam shapes —
+    the two per-program rotates over the padded gates buffer eat the
+    11% matmul-FLOP saving.  Kept as the starting point if rotation-
+    free placement becomes expressible."""
     HW = H * W
     D = h_ref.shape[-1]
     D4 = cell_wh_ref.shape[-1]
@@ -140,17 +141,24 @@ def _decode_kernel_v2(ids_ref, h_ref, c_ref, scene_ref, mask_ref,
     gates_h = jnp.dot(patches, cell_wh_ref[:],
                       preferred_element_type=jnp.float32)
 
-    # place the id's 5x5 deviation into a padded scratch (ref stores
-    # support dynamic pl.ds offsets; value-level dus does not lower),
-    # add the constant background map
+    # place the id's 5x5 deviation: corner-seed then dynamic rotate
+    # (Mosaic rejects unaligned dynamic stores, but tpu.dynamic_rotate
+    # handles arbitrary shifts); buffer is large enough that the
+    # rotation never wraps the slab
     idx = ids_ref[pl.program_id(0)]
     y0 = idx // W
     x0 = idx % W
-    gpad_ref[:] = jnp.zeros((H + 4, W + 4, D4), jnp.float32)
-    gpad_ref[pl.ds(y0, 5), pl.ds(x0, 5), :] = \
-        dev_ref[0].reshape(5, 5, D4).astype(jnp.float32)
+    # rotate buffer dims padded to multiples of 8 (dynamic_rotate
+    # rejects unaligned shapes); big enough that the slab never wraps
+    Hp = ((H + 4 + 7) // 8) * 8
+    Wp = ((W + 4 + 7) // 8) * 8
+    gpad_ref[:] = jnp.zeros((Hp, Wp, D4), jnp.float32)
+    gpad_ref[0:5, 0:5, :] = dev_ref[0].reshape(5, 5, D4).astype(
+        jnp.float32)
+    placed = pltpu.roll(
+        pltpu.roll(gpad_ref[:], y0, axis=0), x0, axis=1)
     gates = (gates_h.reshape(H, W, D4)
-             + gpad_ref[2:2 + H, 2:2 + W, :]
+             + placed[2:2 + H, 2:2 + W, :]
              + bg_ref[:].astype(jnp.float32)).reshape(HW, D4)
     gates = gates + cell_b_ref[:]
     D_ = D
@@ -296,7 +304,8 @@ def decode_step_pallas_v2(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((H + 4, W + 4, 4 * D), jnp.float32),
+            pltpu.VMEM((((H + 4 + 7) // 8) * 8,
+                        ((W + 4 + 7) // 8) * 8, 4 * D), jnp.float32),
         ],
     )
     new_h, new_c, logits = pl.pallas_call(
