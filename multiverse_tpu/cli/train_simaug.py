@@ -157,8 +157,10 @@ def main(argv=None) -> None:
         "multiview" if cfg.multiview_train else
         "standard_aug" if cfg.standard_aug else "clean"))
 
-    for batch, _ in train_data.get_batches(
-            cfg.batch_size, num_steps=num_steps):
+    from multiverse_tpu.data.prefetch import prefetch
+
+    for batch, _ in prefetch(train_data.get_batches(
+            cfg.batch_size, num_steps=num_steps), depth=2):
         global_step += 1
         rng, step_rng = jax.random.split(rng)
         with timer:
