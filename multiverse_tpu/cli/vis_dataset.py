@@ -41,7 +41,6 @@ def vis_dataset_main(argv=None) -> None:
         if not os.path.exists(video_file):
             continue
         vcap = cv2.VideoCapture(video_file)
-        fps = vcap.get(cv2.CAP_PROP_FPS) or 30.0
         target = os.path.join(args.out_video_path, obs_key)
         os.makedirs(target, exist_ok=True)
         printed = cur = 0
@@ -63,7 +62,6 @@ def vis_dataset_main(argv=None) -> None:
                 printed += 1
             cur += 1
         vcap.release()
-        del fps
     print("visualized %d obs groups" % len(gt_files))
 
 

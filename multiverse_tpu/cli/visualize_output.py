@@ -70,8 +70,10 @@ def main(argv=None) -> None:
         frame = cv2.imread(frame_file)
         preds = []
         for _, data, bgr in runs:
-            k = list(data["seq_ids"]).index(seq_id) if j >= len(
-                data["seq_ids"]) or data["seq_ids"][j] != seq_id else j
+            ids = list(data["seq_ids"])
+            # runs may order sequences differently; align by seq_id
+            k = j if j < len(ids) and ids[j] == seq_id \
+                else ids.index(seq_id)
             preds.append((np.asarray(data["grid0_pred_traj"][k]), bgr))
         frame = render_output_frame(
             frame,
