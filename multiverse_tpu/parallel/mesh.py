@@ -59,6 +59,13 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"expected {n_devices} devices, found {len(devices)} "
+                    f"(platform={devices[0].platform}); for a virtual CPU "
+                    f"mesh force JAX_PLATFORMS=cpu + "
+                    f"--xla_force_host_platform_device_count before backend "
+                    f"init (see tests/conftest.py)")
             devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel != 0:
