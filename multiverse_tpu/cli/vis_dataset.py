@@ -69,8 +69,10 @@ def record_moments_main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("moment_json", help="final moments from "
                                             "mvt-gen-moments")
-    parser.add_argument("scene_registry", help="scene/camera JSON")
     parser.add_argument("out_path")
+    parser.add_argument("--scene_registry", default=None,
+                        help="scene/camera JSON (default: the packaged "
+                             "published Forking Paths calibration)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", default=2000, type=int)
     parser.add_argument("--camera_group", default="recording")
@@ -79,9 +81,13 @@ def record_moments_main(argv=None) -> None:
     import carla  # requires a CARLA 0.9.6 server
 
     from multiverse_tpu.forking_paths.recorder import record_moment
-    from multiverse_tpu.forking_paths.scenes import load_scene_registry
+    from multiverse_tpu.forking_paths.scenes import (
+        default_registry_path,
+        load_scene_registry,
+    )
 
-    registry = load_scene_registry(args.scene_registry)
+    registry = load_scene_registry(
+        args.scene_registry or default_registry_path())
     with open(args.moment_json) as f:
         moments = json.load(f)
 

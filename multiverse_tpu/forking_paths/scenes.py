@@ -6,9 +6,12 @@ Python dicts (reference: forking_paths_dataset/code/utils.py:80-332
 `static_scenes` / `anchor_cameras` / `recording_cameras` /
 `annotation_cameras`).  Those numbers are dataset artifacts — they
 define the released benchmark's viewpoints — so here they live in JSON
-files with a typed loader instead of source constants: users point the
-tools at a calibration file shipped with the dataset (or export one
-from the reference with `scene_registry_schema()` as the format).
+files with a typed loader instead of source constants.  The published
+calibration for the 7 benchmark scenes (+ the zara02→zara01 alias)
+ships with the package at ``calibration/forking_paths.json`` (values
+extracted mechanically from the reference tables; they are dataset
+constants, not code) and is the default registry; users may point the
+tools at their own file in the same format.
 
 Schema (one JSON object):
     {
@@ -89,6 +92,19 @@ def _rig_from_dict(d: dict) -> CameraRig:
         height=int(d.get("height", 1080)),
         fov=float(d.get("fov", 90.0)),
     )
+
+
+def default_registry_path() -> str:
+    """The packaged Forking Paths calibration (reference:
+    forking_paths_dataset/code/utils.py:80-332)."""
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "calibration", "forking_paths.json")
+
+
+def load_default_registry() -> "SceneRegistry":
+    return load_scene_registry(default_registry_path())
 
 
 def load_scene_registry(path: str) -> SceneRegistry:

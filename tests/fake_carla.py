@@ -245,7 +245,10 @@ class _Response:
 
 
 class Client:
-    def __init__(self, world: Optional[World] = None):
+    def __init__(self, world: Optional[World] = None, port=None):
+        # accept the real API's (host, port) signature too
+        if isinstance(world, str):
+            world = None
         self.world = world or World()
         self.applied: List[list] = []
 

@@ -239,3 +239,36 @@ def test_find_candidate_moments_sweep(carla_env, tmp_path):
         loaded = json.load(f)
     assert loaded[0]["original_start_frame_id"] == rec[
         "original_start_frame_id"]
+
+
+def test_record_moments_cli_published_calibration(carla_env, tmp_path):
+    """mvt-record-moments end-to-end on the fake backend with NO
+    registry argument: the packaged published Forking Paths calibration
+    supplies the real 4-view recording rig for scene 0400 (reference:
+    record_annotation.py + utils.py:201-306)."""
+    import json
+    import os
+
+    from multiverse_tpu.cli.vis_dataset import record_moments_main
+
+    ped = _controls([[0, 1, 0, 0, 0.5], [1, 1, 1, 0, 0.5],
+                     [2, 1, 2, 0, 0.5]])
+    moment = {
+        "scenename": "0400",
+        "moment_id": "0400_0_1_0",
+        "ped_controls": ped,
+        "vehicle_controls": {},
+        "x_agents": {"1": []},
+    }
+    moment_json = tmp_path / "moments.json"
+    moment_json.write_text(json.dumps([moment], default=float))
+    out = tmp_path / "out"
+
+    record_moments_main([str(moment_json), str(out)])
+
+    # one rgb mp4 + one seg mp4 + one bbox json per published view
+    videos = sorted(os.listdir(out / "videos"))
+    assert videos == ["0400_0_1_0_cam%d.mp4" % i for i in range(1, 5)]
+    assert sorted(os.listdir(out / "videos_seg")) == videos
+    assert sorted(os.listdir(out / "bbox")) == [
+        "0400_0_1_0_cam%d.json" % i for i in range(1, 5)]

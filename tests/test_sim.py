@@ -104,3 +104,60 @@ def test_scene_registry_roundtrip(tmp_path):
     rigs = reg.recording_cameras("zara01")
     assert len(rigs) == 1
     assert rigs[0].intrinsic.shape == (3, 3)
+
+
+def test_published_calibration_registry():
+    """The packaged Forking Paths calibration matches the published
+    recording setup (reference: forking_paths_dataset/code/utils.py:
+    80-332 — 7 scenes + zara02 alias, 4 recording views each, one
+    anchor + one annotation cam, 1920x1080 @ the per-view FOVs)."""
+    import numpy as np
+
+    from multiverse_tpu.forking_paths.scenes import (
+        default_registry_path,
+        load_default_registry,
+    )
+
+    assert default_registry_path().endswith("forking_paths.json")
+    reg = load_default_registry()
+
+    scenes = {"zara01", "zara02", "eth", "hotel",
+              "0000", "0400", "0401", "0500"}
+    assert set(reg.scenes) == scenes
+    for group in ("recording", "anchor", "annotation"):
+        assert set(reg.cameras[group]) == scenes
+
+    for name in scenes:
+        rigs = reg.recording_cameras(name)
+        assert len(rigs) == 4, name  # anchor/left/right/top-down
+        assert len(reg.cameras["anchor"][name]) == 1
+        assert len(reg.cameras["annotation"][name]) == 1
+        # annotation cams are all 90° FOV (utils.py:309-332)
+        assert reg.cameras["annotation"][name][0].fov == 90.0
+        for rig in rigs:
+            K = rig.intrinsic
+            assert K.shape == (3, 3)
+            # 1920x1080 default + fov: fx = w / (2 tan(fov/2))
+            fx = 1920.0 / (2.0 * np.tan(np.deg2rad(rig.fov) / 2.0))
+            assert K[0, 0] == pytest.approx(fx)
+            assert K[0, 2] == 960.0 and K[1, 2] == 540.0
+
+    # zara02 is an alias of zara01 (utils.py:173,199,306,331)
+    z1, z2 = reg.scenes["zara01"], reg.scenes["zara02"]
+    assert (z1.map, z1.fps, z1.weather) == (z2.map, z2.fps, z2.weather)
+    assert reg.recording_cameras("zara01") == reg.recording_cameras("zara02")
+
+    # spot-check hand-calibrated values against the reference tables
+    sc = reg.scenes["0400"]
+    assert sc.map == "Town05_actev" and sc.fps == 30.0
+    assert sc.weather.sun_altitude_angle == 65.0
+    assert sc.weather.sun_azimuth_angle == -20.0
+    anchor = reg.cameras["anchor"]["zara01"][0]
+    assert anchor.transform.x == pytest.approx(-33.863022)
+    assert anchor.transform.pitch == pytest.approx(-62.999184)
+    assert anchor.fov == 30.0
+    top_down_0500 = reg.recording_cameras("0500")[3]
+    assert top_down_0500.transform.z == pytest.approx(52.925720)
+    assert top_down_0500.fov == 70.0
+    hotel_ann = reg.cameras["annotation"]["hotel"][0]
+    assert hotel_ann.transform.yaw == pytest.approx(-0.431061)
