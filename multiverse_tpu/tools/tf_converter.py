@@ -2,31 +2,46 @@
 framework's parameter pytree — unlocking direct metric parity with the
 published models without retraining.
 
-Name mapping (reference variable scopes → param paths, see
-multiverse_tpu/models/multiverse.py's scope table and reference:
-code/pred_models.py):
+Name mapping — reference variable scopes → param paths.  The full
+names below are the graph's REAL names, derived from the reference's
+scope structure (reference: code/pred_models.py:140-306 build_forward,
+:311-471 grid_decoder, :925-959 hidden2grid; SimAug/code/pred_models.py
+uses identical names) and verified against TF's actual scope mechanics:
+`dynamic_rnn(scope=s)` replaces the default "rnn" scope (no extra
+segment), `raw_rnn(scope="decoder_rnn")` nests the cell variables AND
+any variables created inside the loop_fn (the decoder's `grid_emb`)
+under `decoder_rnn/`, and `variable_scope(top_scope)` rebases the
+`hidden2grid_*` convs to directly under `person_pred/`:
 
-    person_pred/scene_conv{k}/W,b           scene_conv{k}.kernel/bias
-    .../enc_grid_{i}/kernel,biases          scales[i].enc_class
-    .../enc_grid_regress_{i}/kernel,biases  scales[i].enc_reg
-    .../dec_grid_{i}/kernel,biases          scales[i].dec_class
-    .../dec_grid_reg_{i}/kernel,biases      scales[i].dec_reg
-    decoder_grid_class_{i}/grid_emb/W,b     scales[i].dec_class_emb
-    decoder_grid_reg_{i}/grid_emb/W,b       scales[i].dec_reg_emb
-    hidden2grid_decoder_grid_class_{i}/out_dec_grid/W
-                                            scales[i].h2g_class
-    hidden2grid_decoder_grid_reg_{i}/out_dec_grid/W
-                                            scales[i].h2g_reg
-    decode_reg/out_dec_grid/W               scales[i].h2g_single
-    person_pred/grid_emb/W,b                scales[i].enc_grid_emb
+    person_pred/scene_conv{k}/W,b                      scene_conv{k}
+    person_pred/encoder_grid_class_{i}/enc_grid_{i}/kernel,biases
+                                                       scales[i].enc_class
+    person_pred/encoder_grid_reg_{i}/enc_grid_regress_{i}/kernel,biases
+                                                       scales[i].enc_reg
+    person_pred/decoder_grid_class_{i}/decoder_rnn/dec_grid_{i}/kernel,biases
+                                                       scales[i].dec_class
+    person_pred/decoder_grid_reg_{i}/decoder_rnn/dec_grid_reg_{i}/kernel,biases
+                                                       scales[i].dec_reg
+    person_pred/decoder_grid_class_{i}/decoder_rnn/grid_emb/W,b
+                                                       scales[i].dec_class_emb
+    person_pred/decoder_grid_reg_{i}/decoder_rnn/grid_emb/W,b
+                                                       scales[i].dec_reg_emb
+    person_pred/hidden2grid_decoder_grid_class_{i}/out_dec_grid/W
+                                                       scales[i].h2g_class
+    person_pred/hidden2grid_decoder_grid_reg_{i}/out_dec_grid/W
+                                                       scales[i].h2g_reg
+    person_pred/decode_reg/out_dec_grid/W              scales[i].h2g_single
+    person_pred/grid_emb/W,b (no-scene-enc encoder)    scales[i].enc_grid_emb
 
-Matching is by scope-suffix patterns, so nesting introduced by
-`dynamic_rnn`/`raw_rnn` wrappers (`rnn/`, `decoder_rnn/`) doesn't
-matter.  Layouts need no transposition: TF conv kernels are HWIO like
-ours, the contrib ConvLSTMCell's fused kernel is
-[k, k, in+h, 4h] with gate order (i, g, f, o) — the order our cell
-implements (verified against the TF 1.15 contrib source; see
-multiverse_tpu/ops/convlstm.py).
+The GNN (`gnn_edge`/`gnn_node`/`gnn_mask_edge`, reference
+pred_models.py:808-909) creates NO trainable variables — it is
+l2-normalize + matmul + masked softmax — so nothing maps from the
+`gnn_*` scopes.  Matching is by scope-suffix patterns with the
+`decoder_rnn/` segment optional, so either nesting converts.  Layouts
+need no transposition: TF conv kernels are HWIO like ours, the contrib
+ConvLSTMCell's fused kernel is [k, k, in+h, 4h] with gate order
+(i, g, f, o) — the order our cell implements (verified against the
+TF 1.15 contrib source; see multiverse_tpu/ops/convlstm.py).
 
 Reading the checkpoint itself requires tensorflow (any version with
 `tf.train.load_checkpoint`); the name mapping is pure and tested
@@ -63,13 +78,13 @@ _RULES: List[Tuple[str, Tuple[str, ...]]] = [
      ("scales", "{i}", "dec_reg", "kernel")),
     (r"dec_grid_reg_(?P<i>\d+)/biases$",
      ("scales", "{i}", "dec_reg", "bias")),
-    (r"decoder_grid_class_(?P<i>\d+)/grid_emb/W$",
+    (r"decoder_grid_class_(?P<i>\d+)/(?:decoder_rnn/)?grid_emb/W$",
      ("scales", "{i}", "dec_class_emb", "w")),
-    (r"decoder_grid_class_(?P<i>\d+)/grid_emb/b$",
+    (r"decoder_grid_class_(?P<i>\d+)/(?:decoder_rnn/)?grid_emb/b$",
      ("scales", "{i}", "dec_class_emb", "b")),
-    (r"decoder_grid_reg_(?P<i>\d+)/grid_emb/W$",
+    (r"decoder_grid_reg_(?P<i>\d+)/(?:decoder_rnn/)?grid_emb/W$",
      ("scales", "{i}", "dec_reg_emb", "w")),
-    (r"decoder_grid_reg_(?P<i>\d+)/grid_emb/b$",
+    (r"decoder_grid_reg_(?P<i>\d+)/(?:decoder_rnn/)?grid_emb/b$",
      ("scales", "{i}", "dec_reg_emb", "b")),
     (r"hidden2grid_decoder_grid_class_(?P<i>\d+)/out_dec_grid/W$",
      ("scales", "{i}", "h2g_class", "w")),

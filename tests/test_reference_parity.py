@@ -311,29 +311,29 @@ def test_tf_checkpoint_conversion_roundtrip(tmp_path):
         ("scene_conv2", "w"): "person_pred/scene_conv2/W",
         ("scene_conv2", "b"): "person_pred/scene_conv2/b",
         ("scales", "0", "enc_class", "kernel"):
-            "person_pred/encoder_grid_class_0/rnn/enc_grid_0/kernel",
+            "person_pred/encoder_grid_class_0/enc_grid_0/kernel",
         ("scales", "0", "enc_class", "bias"):
-            "person_pred/encoder_grid_class_0/rnn/enc_grid_0/biases",
+            "person_pred/encoder_grid_class_0/enc_grid_0/biases",
         ("scales", "0", "enc_reg", "kernel"):
-            "person_pred/encoder_grid_reg_0/rnn/enc_grid_regress_0/kernel",
+            "person_pred/encoder_grid_reg_0/enc_grid_regress_0/kernel",
         ("scales", "0", "enc_reg", "bias"):
-            "person_pred/encoder_grid_reg_0/rnn/enc_grid_regress_0/biases",
+            "person_pred/encoder_grid_reg_0/enc_grid_regress_0/biases",
         ("scales", "0", "dec_class", "kernel"):
-            "person_pred/decoder_rnn/dec_grid_0/kernel",
+            "person_pred/decoder_grid_class_0/decoder_rnn/dec_grid_0/kernel",
         ("scales", "0", "dec_class", "bias"):
-            "person_pred/decoder_rnn/dec_grid_0/biases",
+            "person_pred/decoder_grid_class_0/decoder_rnn/dec_grid_0/biases",
         ("scales", "0", "dec_reg", "kernel"):
-            "person_pred/decoder_rnn/dec_grid_reg_0/kernel",
+            "person_pred/decoder_grid_reg_0/decoder_rnn/dec_grid_reg_0/kernel",
         ("scales", "0", "dec_reg", "bias"):
-            "person_pred/decoder_rnn/dec_grid_reg_0/biases",
+            "person_pred/decoder_grid_reg_0/decoder_rnn/dec_grid_reg_0/biases",
         ("scales", "0", "dec_class_emb", "w"):
-            "person_pred/decoder_grid_class_0/grid_emb/W",
+            "person_pred/decoder_grid_class_0/decoder_rnn/grid_emb/W",
         ("scales", "0", "dec_class_emb", "b"):
-            "person_pred/decoder_grid_class_0/grid_emb/b",
+            "person_pred/decoder_grid_class_0/decoder_rnn/grid_emb/b",
         ("scales", "0", "dec_reg_emb", "w"):
-            "person_pred/decoder_grid_reg_0/grid_emb/W",
+            "person_pred/decoder_grid_reg_0/decoder_rnn/grid_emb/W",
         ("scales", "0", "dec_reg_emb", "b"):
-            "person_pred/decoder_grid_reg_0/grid_emb/b",
+            "person_pred/decoder_grid_reg_0/decoder_rnn/grid_emb/b",
         ("scales", "0", "h2g_class", "w"):
             "person_pred/hidden2grid_decoder_grid_class_0/out_dec_grid/W",
         ("scales", "0", "h2g_reg", "w"):
@@ -372,3 +372,26 @@ def test_tf_checkpoint_conversion_roundtrip(tmp_path):
         for k in path:
             node = node[k]
         np.testing.assert_array_equal(np.asarray(node), val)
+
+    # the CLI end of the same path: convert into the orbax run layout
+    # and restore it the way mvt-test --load does
+    from multiverse_tpu.cli.convert_tf import main as convert_tf_main
+    from multiverse_tpu.train.checkpoints import CheckpointManager
+
+    out_base = str(tmp_path / "runs")
+    convert_tf_main([
+        os.path.join(ckpt_dir, "model-7"), out_base, "converted", "1",
+        "--scene_h", "12", "--scene_w", "16", "--scene_class", "5",
+        "--emb_size", "8", "--enc_hidden_size", "16",
+        "--dec_hidden_size", "16", "--scene_conv_dim", "8",
+        "--scene_grid_strides", "2,4", "--use_grids", "1,0",
+        "--use_scene_enc",
+    ])
+    run_dir = os.path.join(out_base, "converted", "01")
+    restored = CheckpointManager(run_dir).restore_params(
+        params, best=True)
+    leaf = ("scales", "0", "dec_class_emb", "w")
+    node = restored
+    for k in leaf:
+        node = node[k]
+    np.testing.assert_array_equal(np.asarray(node), expected[leaf])

@@ -16,25 +16,30 @@ from multiverse_tpu.tools.tf_converter import (
 CFG = MultiverseConfig(
     scene_grid_strides=(2, 4), use_grids=(True, False)).validate()
 
-# plausible full names as TF1 writes them (scopes nested under
-# person_pred with rnn wrappers)
+# the released checkpoints' REAL variable names: the reference builds
+# cells named enc_grid_{i}/dec_grid_{i} inside dynamic_rnn(scope=
+# "encoder_grid_class_{i}") / raw_rnn(scope="decoder_rnn") under
+# variable_scope("decoder_grid_class_{i}"), creates the decoder
+# grid_emb INSIDE the raw_rnn loop_fn (hence under decoder_rnn/), and
+# rebases hidden2grid_* to top scope (reference: code/pred_models.py:
+# 140-306, 311-471, 925-959; scope mechanics verified against TF)
 REFERENCE_NAMES = [
     "person_pred/scene_conv1/W",
     "person_pred/scene_conv1/b",
     "person_pred/scene_conv2/W",
     "person_pred/scene_conv2/b",
-    "person_pred/encoder_grid_class_0/rnn/enc_grid_0/kernel",
-    "person_pred/encoder_grid_class_0/rnn/enc_grid_0/biases",
-    "person_pred/encoder_grid_reg_0/rnn/enc_grid_regress_0/kernel",
-    "person_pred/encoder_grid_reg_0/rnn/enc_grid_regress_0/biases",
-    "person_pred/decoder_rnn/dec_grid_0/kernel",
-    "person_pred/decoder_rnn/dec_grid_0/biases",
-    "person_pred/decoder_rnn/dec_grid_reg_0/kernel",
-    "person_pred/decoder_rnn/dec_grid_reg_0/biases",
-    "person_pred/decoder_grid_class_0/grid_emb/W",
-    "person_pred/decoder_grid_class_0/grid_emb/b",
-    "person_pred/decoder_grid_reg_0/grid_emb/W",
-    "person_pred/decoder_grid_reg_0/grid_emb/b",
+    "person_pred/encoder_grid_class_0/enc_grid_0/kernel",
+    "person_pred/encoder_grid_class_0/enc_grid_0/biases",
+    "person_pred/encoder_grid_reg_0/enc_grid_regress_0/kernel",
+    "person_pred/encoder_grid_reg_0/enc_grid_regress_0/biases",
+    "person_pred/decoder_grid_class_0/decoder_rnn/dec_grid_0/kernel",
+    "person_pred/decoder_grid_class_0/decoder_rnn/dec_grid_0/biases",
+    "person_pred/decoder_grid_reg_0/decoder_rnn/dec_grid_reg_0/kernel",
+    "person_pred/decoder_grid_reg_0/decoder_rnn/dec_grid_reg_0/biases",
+    "person_pred/decoder_grid_class_0/decoder_rnn/grid_emb/W",
+    "person_pred/decoder_grid_class_0/decoder_rnn/grid_emb/b",
+    "person_pred/decoder_grid_reg_0/decoder_rnn/grid_emb/W",
+    "person_pred/decoder_grid_reg_0/decoder_rnn/grid_emb/b",
     "person_pred/hidden2grid_decoder_grid_class_0/out_dec_grid/W",
     "person_pred/hidden2grid_decoder_grid_reg_0/out_dec_grid/W",
     "global_step",
@@ -79,6 +84,13 @@ def test_map_disambiguates_cells():
     assert map_variable(
         "person_pred/decoder_grid_class_0/grid_emb/W", CFG) == (
         "scales", "0", "dec_class_emb", "w")
+    # the real graph nests the decoder grid_emb under raw_rnn's scope
+    assert map_variable(
+        "person_pred/decoder_grid_class_0/decoder_rnn/grid_emb/W",
+        CFG) == ("scales", "0", "dec_class_emb", "w")
+    assert map_variable(
+        "person_pred/decoder_grid_reg_0/decoder_rnn/grid_emb/b",
+        CFG) == ("scales", "0", "dec_reg_emb", "b")
     assert map_variable("whatever/unrelated/W", CFG) is None
 
 
