@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="which grid scale for the validation metric")
     parser.add_argument("--save_period", type=int, default=300)
     parser.add_argument("--loss_moving_avg_step", default=100, type=int)
+    parser.add_argument("--loss_fetch_period", default=20, type=int,
+                        help="fetch per-step losses to host every N "
+                             "steps (1 = reference semantics: NaN "
+                             "abort on the exact step; larger keeps "
+                             "the TPU stream unblocked — the NaN "
+                             "abort then lags at most N steps)")
     parser.add_argument("--check_model", action="store_true",
                         help="print parameter shapes and exit")
     parser.add_argument("--seed", type=int, default=0)
@@ -125,6 +131,27 @@ def main(argv=None) -> None:
 
     from multiverse_tpu.data.prefetch import prefetch
 
+    # per-step losses stay ON DEVICE and are flushed to host every
+    # --loss_fetch_period steps: a per-step scalar fetch would stall
+    # the TPU stream once per step (the dominant cost on remote/
+    # tunneled backends), while the flush is one small batched
+    # transfer.  The NaN abort (reference: code/train.py:256-259)
+    # then fires within loss_fetch_period steps of the bad step.
+    pending: list = []  # [(step, total_loss_device_scalar)]
+
+    def flush_pending():
+        if not pending:
+            return
+        steps = [s for s, _ in pending]
+        values = [float(v) for v in jax.device_get(
+            [v for _, v in pending])]
+        pending.clear()
+        for s, v in zip(steps, values):
+            if math.isnan(v):
+                print("nan loss at step %d" % s)
+                sys.exit(1)
+            loss_ma.put(v)
+
     with mesh, profile_trace(args.profile):
         for batch, _ in prefetch(train_data.get_batches(
                 cfg.batch_size, num_steps=num_steps), depth=2):
@@ -133,15 +160,11 @@ def main(argv=None) -> None:
             with timer:
                 state, losses = train_step(state, shard_batch(mesh, batch))
 
+            pending.append((global_step, losses["total"]))
             if global_step % args.save_period == 0 \
                     or global_step == num_steps:
-                losses = jax.device_get(losses)
-                total = float(losses["total"])
-                if math.isnan(total):
-                    print("nan loss at step %d: %s" % (global_step, losses))
-                    sys.exit(1)
-                loss_ma.put(total)
-                wd_ma.put(float(losses["wd"]))
+                flush_pending()
+                wd_ma.put(float(jax.device_get(losses["wd"])))
 
                 host_params = jax.device_get(state.params)
                 ckpt.save(global_step, host_params)
@@ -160,13 +183,9 @@ def main(argv=None) -> None:
                     ckpt.save(global_step, host_params, best=True)
                     val_perf.append((loss_ma.me(), evalperf))
                 finalperf = evalperf
-            else:
-                total = float(jax.device_get(losses["total"]))
-                if math.isnan(total):
-                    # reference: code/train.py:256-259 NaN abort
-                    print("nan loss at step %d" % global_step)
-                    sys.exit(1)
-                loss_ma.put(total)
+            elif len(pending) >= max(1, args.loss_fetch_period):
+                flush_pending()
+        flush_pending()
 
     with open(os.path.join(outpath, "val_perf.json"), "w") as f:
         json.dump({"best": best, "val_perf": val_perf}, f, indent=2,

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--val_grid_num", type=int, default=0)
     parser.add_argument("--save_period", type=int, default=300)
     parser.add_argument("--loss_moving_avg_step", default=100, type=int)
+    parser.add_argument("--loss_fetch_period", default=20, type=int,
+                        help="fetch per-step losses every N steps "
+                             "(see mvt-train)")
     parser.add_argument("--seed", type=int, default=0)
     add_model_args(parser)
     add_train_args(parser)
@@ -159,19 +162,37 @@ def main(argv=None) -> None:
 
     from multiverse_tpu.data.prefetch import prefetch
 
+    # device-side loss buffer, flushed every loss_fetch_period steps —
+    # a per-step scalar fetch stalls the TPU stream (see cli/train.py)
+    pending: list = []
+
+    def flush_pending():
+        if not pending:
+            return
+        steps = [s for s, _ in pending]
+        values = [float(v) for v in jax.device_get(
+            [v for _, v in pending])]
+        pending.clear()
+        for s, v in zip(steps, values):
+            if math.isnan(v):
+                print("nan loss at step %d" % s)
+                sys.exit(1)
+            loss_ma.put(v)
+
     for batch, _ in prefetch(train_data.get_batches(
             cfg.batch_size, num_steps=num_steps), depth=2):
         global_step += 1
         rng, step_rng = jax.random.split(rng)
         with timer:
             state, losses = train_step(state, batch, step_rng)
-        total = float(jax.device_get(losses["total"]))
-        if math.isnan(total):
-            print("nan loss at step %d" % global_step)
-            sys.exit(1)
-        loss_ma.put(total)
+        pending.append((global_step, losses["total"]))
+        if len(pending) >= max(1, args.loss_fetch_period) \
+                and global_step % args.save_period != 0 \
+                and global_step != num_steps:
+            flush_pending()
 
         if global_step % args.save_period == 0 or global_step == num_steps:
+            flush_pending()
             host_params = jax.device_get(state.params)
             ckpt.save(global_step, host_params)
             with mesh:
@@ -188,6 +209,7 @@ def main(argv=None) -> None:
                 ckpt.save(global_step, host_params, best=True)
             finalperf = evalperf
 
+    flush_pending()
     with open(os.path.join(outpath, "val_perf.json"), "w") as f:
         json.dump({"best": best}, f, indent=2, default=float)
     if finalperf is not None:

@@ -195,7 +195,6 @@ def greedy_forward(
         scene_mean=scene_mean,
         feedback="onehot",
         compute_dtype=compute_dtype,
-        allow_pallas_gnn=True,  # inference-only path, never under grad
     )
     if cfg.use_single_decoder:
         D = states.shape[-1]

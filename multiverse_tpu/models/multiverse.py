@@ -45,7 +45,6 @@ from multiverse_tpu.ops import (
     convlstm_scan,
     convlstm_step,
     gnn_step_auto,
-    gnn_step_neighbors,
     init_conv,
 )
 from multiverse_tpu.ops.layers import get_activation, l2_weight_decay
@@ -180,7 +179,7 @@ def greedy_decode(
     feedback: str = "onehot",        # onehot | raw | teacher
     pred_gt: Optional[jnp.ndarray] = None,     # [N, T_pred, h, w, P]
     compute_dtype=None,
-    allow_pallas_gnn: bool = False,
+    allow_pallas_gnn: bool = True,  # kept for API compat; unused
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Autoregressive ConvLSTM decode via lax.scan.
 
@@ -204,14 +203,12 @@ def greedy_decode(
     def step(carry, t):
         state, x = carry
         if use_gnn:
-            # exact 9-neighbor reformulation of the masked dense
-            # attention; pallas only when the caller guarantees no
-            # differentiation (the kernel has no VJP and SimAug
-            # attacks differentiate through this decode)
-            gnn = gnn_step_auto if allow_pallas_gnn \
-                else gnn_step_neighbors
-            agg = gnn(state.h, scene_mean,
-                      compute_dtype=compute_dtype)
+            # gnn_step_auto picks the fused Pallas kernel on the TPU
+            # bf16 path (inference AND training/attack gradients — the
+            # kernel carries a custom VJP with a fused backward) and
+            # the exact jnp 9-neighbor reformulation elsewhere
+            agg = gnn_step_auto(state.h, scene_mean,
+                                compute_dtype=compute_dtype)
             state = ConvLSTMState(c=state.c, h=state.h + agg)
         emb = conv2d(emb_p, x, activation=act, compute_dtype=compute_dtype)
         out, state = convlstm_step(cell_p, emb, state,

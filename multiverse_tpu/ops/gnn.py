@@ -50,10 +50,10 @@ def gnn_step_auto(
     compute_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Dispatch: fused Pallas dense-attention kernel on the TPU bf16
-    inference path (2.4x the jnp step; MXU matmuls, edges never leave
-    VMEM), exact jnp 9-neighbor reformulation everywhere else
-    (CPU tests, f32 parity runs, and training — the kernel has no
-    VJP)."""
+    path (2.4x the jnp step; MXU matmuls, edges never leave VMEM) —
+    including under differentiation, via its custom VJP with a fused
+    backward kernel — and the exact jnp 9-neighbor reformulation
+    everywhere else (CPU tests and f32 parity runs)."""
     if (compute_dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"):
         from multiverse_tpu.ops.pallas_gnn import gnn_step_pallas

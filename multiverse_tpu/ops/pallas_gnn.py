@@ -44,6 +44,115 @@ def _gnn_kernel(node_ref, states_ref, mask_ref, out_ref):
                          preferred_element_type=jnp.float32)
 
 
+def _gnn_bwd_kernel(node_ref, states_ref, mask_ref, g_ref,
+                    dnode_ref, dstates_ref):
+    """Backward of `_gnn_kernel`, one sample per program, everything
+    VMEM-resident.  Recomputes attn (cheaper than storing [HW, HW] per
+    sample to HBM), then four MXU matmuls:
+
+        dstates = attnᵀ g
+        dattn   = g statesᵀ
+        dedges  = attn ⊙ (dattn − rowsum(dattn ⊙ attn))   (softmax VJP)
+        dnode   = (dedges + dedgesᵀ) node        (edges = node nodeᵀ)
+
+    The additive mask is constant — no gradient.
+    """
+    node = node_ref[:]
+    states = states_ref[:]
+    g = g_ref[:]
+
+    edges = jnp.dot(node, node.T, preferred_element_type=jnp.float32)
+    edges = edges + mask_ref[:]
+    m = jnp.max(edges, axis=-1, keepdims=True)
+    e = jnp.exp(edges - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)          # f32 [HW,HW]
+
+    attn_c = attn.astype(states.dtype)
+    dstates_ref[:] = jnp.dot(attn_c.T, g.astype(states.dtype),
+                             preferred_element_type=jnp.float32)
+    dattn = jnp.dot(g.astype(states.dtype), states.T,
+                    preferred_element_type=jnp.float32)    # [HW, HW]
+    dedges = attn * (dattn - jnp.sum(dattn * attn, axis=-1,
+                                     keepdims=True))
+    sym = (dedges + dedges.T).astype(node.dtype)
+    dnode_ref[:] = jnp.dot(sym, node,
+                           preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gnn_dense(node, states, mask, interpret=False):
+    """Dense masked attention on pre-normalized node features:
+    softmax(node·nodeᵀ + mask) @ states.  node: [N·HW, Dn] (rows are
+    HW-blocks per sample), states: [N·HW, Ds], mask: [HW, HW] additive.
+    Differentiable w.r.t. node and states via the fused backward
+    kernel; the l2-normalize/concat around it is plain jnp handled by
+    JAX AD."""
+    return _gnn_dense_fwd(node, states, mask, interpret)[0]
+
+
+def _pallas_specs(HW, Dn, Ds):
+    return dict(
+        in_specs=[
+            pl.BlockSpec((HW, Dn), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, Ds), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, HW), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+
+def _gnn_dense_fwd(node, states, mask, interpret):
+    NHW, Dn = node.shape
+    Ds = states.shape[-1]
+    HW = mask.shape[0]
+    N = NHW // HW
+    out = pl.pallas_call(
+        _gnn_kernel,
+        grid=(N,),
+        out_specs=pl.BlockSpec((HW, Ds), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NHW, Ds), jnp.float32),
+        interpret=interpret,
+        **_pallas_specs(HW, Dn, Ds),
+    )(node, states, mask)
+    return out, (node, states, mask)
+
+
+def _gnn_dense_bwd(interpret, res, g):
+    node, states, mask = res
+    NHW, Dn = node.shape
+    Ds = states.shape[-1]
+    HW = mask.shape[0]
+    N = NHW // HW
+    specs = _pallas_specs(HW, Dn, Ds)
+    specs["in_specs"].append(
+        pl.BlockSpec((HW, Ds), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM))
+    dnode, dstates = pl.pallas_call(
+        _gnn_bwd_kernel,
+        grid=(N,),
+        out_specs=[
+            pl.BlockSpec((HW, Dn), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, Ds), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NHW, Dn), jnp.float32),
+            jax.ShapeDtypeStruct((NHW, Ds), jnp.float32),
+        ],
+        interpret=interpret,
+        **specs,
+    )(node, states, mask, g.astype(jnp.float32))
+    return (dnode.astype(node.dtype), dstates.astype(states.dtype),
+            None)
+
+
+_gnn_dense.defvjp(_gnn_dense_fwd, _gnn_dense_bwd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_n", "interpret"))
 def gnn_step_pallas(
@@ -52,7 +161,12 @@ def gnn_step_pallas(
     block_n: int = 1,                           # kept for API compat
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused dense neighborhood attention; returns [N, H, W, D] f32."""
+    """Fused dense neighborhood attention; returns [N, H, W, D] f32.
+
+    Differentiable: the attention core carries a custom VJP whose
+    backward is itself a fused VMEM-resident kernel, so training and
+    SimAug input-gradient attacks use the same fast path as inference
+    (grad equality vs the jnp 9-neighbor path is tested)."""
     del block_n
     N, H, W, D = hidden.shape
     HW = H * W
@@ -71,20 +185,5 @@ def gnn_step_pallas(
     mask = jnp.asarray(
         (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
 
-    out = pl.pallas_call(
-        _gnn_kernel,
-        grid=(N,),
-        in_specs=[
-            pl.BlockSpec((HW, Dn), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((HW, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((HW, HW), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((HW, D), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N * HW, D), jnp.float32),
-        interpret=interpret,
-    )(node, states, mask)
+    out = _gnn_dense(node, states, mask, interpret)
     return out.reshape(N, H, W, D)
