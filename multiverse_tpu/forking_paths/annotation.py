@@ -121,6 +121,19 @@ class AnnotationSession:
             return "failed"
         return "continue"
 
+    @property
+    def fails(self) -> int:
+        """Failed attempts at the current task."""
+        return self._fails
+
+    def skip_task(self) -> None:
+        """Abandon the current task without saving (the reference
+        annotator keeps retrying until success; automated drivers and
+        tests need a bounded escape)."""
+        self._samples = []
+        self._fails = 0
+        self._task_idx += 1
+
 
 def save_annotation(session: AnnotationSession, path: str) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -1,19 +1,26 @@
-"""Interactive CARLA tools: annotation game + free-fly spectator.
+"""Interactive CARLA tools: annotation game, free-fly spectator, and
+the moment editor GUI.
 
-Compact drivers over the tested cores (session state machine in
-annotation.py, sim planner/adapter in sim.py, camera math in
-camera.py).  They need a CARLA 0.9.6 server + pygame + a display and
-are therefore exercised manually, not in CI (STATUS.md marks them 🟡).
+Thin pygame drivers over tested cores: the annotation session state
+machine (annotation.py), the sim planner/adapter (sim.py), camera math
+(camera.py), and the full moment-editor state machine (editor.py —
+its module docstring carries the keybinding parity table vs reference
+moment_editor.py:138-172).  A real CARLA 0.9.6 server is needed for
+actual use, but every loop runs headlessly in CI against the in-memory
+fake backend + SDL dummy videodriver (tests/test_interactive.py),
+bounded by `max_ticks`/`throttle` test hooks.
 
 reference: forking_paths_dataset/code/annotate_carla.py (the
 annotation game: replay the obs phase, hand the x-agent to the
 annotator with WASD, restart on collision/timeout, save per-frame
-controls) and spectator.py (free-fly camera, click → 3D via the depth
-sensor).
+controls), spectator.py (free-fly camera, click → 3D via the depth
+sensor, Info HUD :404+, recording), moment_editor.py (scenario
+editor/QA).
 
 Keys (annotation): W/S forward/stop, A/D turn, ESC quit.
 Keys (spectator): WASD+QE move, arrow keys rotate, click prints the
-3D point under the cursor, P screenshot, ESC quit.
+3D point under the cursor, P screenshot, R record, F1/H HUD, ESC quit.
+Keys (editor): see editor.py's parity table.
 """
 
 from __future__ import annotations
@@ -45,6 +52,15 @@ WALK_SPEED = 1.4      # m/s handed to WalkerControl while annotating
 TURN_DEG_PER_TICK = 4.0
 
 
+def _advance(world) -> None:
+    """One simulation step: drive sync worlds with tick(), otherwise
+    wait for the server's own tick (reference spectator runs async)."""
+    if world.get_settings().synchronous_mode:
+        world.tick()
+    elif hasattr(world, "wait_for_tick"):
+        world.wait_for_tick()
+
+
 def _pygame_surface(pygame, image) -> "pygame.Surface":
     arr = np.frombuffer(image.raw_data, np.uint8).reshape(
         image.height, image.width, 4)[:, :, 2::-1]
@@ -60,6 +76,8 @@ def run_annotation_game(
     pred_length: int = 26,
     annotation_fps: float = 2.5,
     camera_rig: Optional[CameraRig] = None,
+    throttle: bool = True,
+    max_attempts: Optional[int] = None,
 ) -> dict:
     """One annotator pass; writes the saved-annotation JSON and
     returns it (reference: annotate_carla.py main loop)."""
@@ -113,7 +131,8 @@ def run_annotation_game(
             restart = False
 
             while not restart:
-                clock.tick_busy_loop(video_fps)
+                if throttle:  # real-time pacing; off in headless tests
+                    clock.tick_busy_loop(video_fps)
                 for event in pygame.event.get():
                     if event.type == pygame.QUIT:
                         raise KeyboardInterrupt
@@ -165,6 +184,10 @@ def run_annotation_game(
                 if frame_id > max_frame:
                     session.step(frame_id, [1e9, 1e9, 1e9])
                     restart = True
+                if restart and max_attempts is not None \
+                        and not session.done \
+                        and session.fails >= max_attempts:
+                    session.skip_task()
 
             camera.stop()
             camera.destroy()
@@ -186,15 +209,25 @@ def run_spectator(
     height: int = 720,
     fov: float = 90.0,
     screenshot_path: str = "spectator_shots",
+    max_ticks: Optional[int] = None,
 ) -> None:
-    """Free-fly camera with click → 3D world point
-    (reference: spectator.py:135-200)."""
+    """Free-fly camera with click → 3D world point, Info HUD, and
+    frame recording (reference: spectator.py:135-200 movement/click,
+    :404+ Info HUD; recording = the reference's screenshot machinery
+    extended to a toggle).
+
+    Keys: WASD+QE move, arrows rotate, click prints the 3D point under
+    the cursor, P screenshot, R toggle recording (frames saved under
+    screenshot_path/rec_NNNN/), F1 or H toggle the HUD, ESC quit.
+    `max_ticks` bounds the loop for headless tests.
+    """
     import carla
     import pygame
 
     pygame.init()
     display = pygame.display.set_mode((width, height))
     clock = pygame.time.Clock()
+    font = pygame.font.Font(None, 22)
     world = client.get_world()
     bp_lib = world.get_blueprint_library()
 
@@ -219,14 +252,45 @@ def run_spectator(
     rgb_cam.listen(lambda im: last.__setitem__("rgb", im))
     depth_cam.listen(lambda im: last.__setitem__("depth", im))
     shot = 0
+    show_hud = True
+    recording = None  # None or (dir, next_frame_index)
 
+    def draw_hud():
+        lines = [
+            "pos (%.1f, %.1f, %.1f)  pitch %.1f  yaw %.1f  fov %.0f"
+            % (pose.x, pose.y, pose.z, pose.pitch, pose.yaw, fov),
+            "fps %.1f%s" % (clock.get_fps(),
+                            "   REC " + recording[0] if recording
+                            else ""),
+            "WASD+QE move | arrows rotate | click->3D | P shot | "
+            "R record | H hud | ESC quit",
+        ]
+        for i, text in enumerate(lines):
+            display.blit(font.render(text, True, (255, 255, 255),
+                                     (0, 0, 0)), (8, 8 + 20 * i))
+
+    ticks = 0
     try:
-        while True:
+        while max_ticks is None or ticks < max_ticks:
+            ticks += 1
             clock.tick(30)
             moved = False
             for event in pygame.event.get():
                 if event.type == pygame.QUIT:
                     return
+                if event.type == pygame.KEYDOWN:
+                    if event.key in (pygame.K_F1, pygame.K_h):
+                        show_hud = not show_hud
+                    if event.key == pygame.K_r:
+                        if recording is None:
+                            rec_dir = os.path.join(
+                                screenshot_path,
+                                "rec_%04d" % int(shot))
+                            os.makedirs(rec_dir, exist_ok=True)
+                            recording = [rec_dir, 0]
+                            shot += 1
+                        else:
+                            recording = None
                 if event.type == pygame.MOUSEBUTTONDOWN \
                         and last["depth"] is not None:
                     u, v = event.pos
@@ -281,9 +345,16 @@ def run_spectator(
                 depth_cam.set_transform(t)
                 moved = True
             del moved
+            _advance(world)
             if last["rgb"] is not None:
                 display.blit(
                     _pygame_surface(pygame, last["rgb"]), (0, 0))
+                if recording is not None:
+                    pygame.image.save(display, os.path.join(
+                        recording[0], "%06d.png" % recording[1]))
+                    recording[1] += 1
+                if show_hud:
+                    draw_hud()
                 pygame.display.flip()
     finally:
         rgb_cam.stop()
@@ -300,21 +371,21 @@ def run_moment_editor(
     width: int = 1280,
     height: int = 720,
     fov: float = 90.0,
+    max_ticks: Optional[int] = None,
+    scene_registry=None,
 ) -> List[dict]:
-    """Scenario editor/QA (reference: moment_editor.py keybindings at
-    :138-172): `[`/`]` cycle moments, `g` replay, `o` approve,
-    `x` select an x-agent id (number keys pick the pid), left-click
-    adds a destination for the selected agent at the clicked 3D point
-    (depth backprojection), `u` removes the agent, ESC saves + quits.
+    """Scenario editor/QA GUI — a thin pygame dispatcher over the pure
+    :class:`~multiverse_tpu.forking_paths.editor.MomentEditor` state
+    machine (the full reference keybinding table lives in editor.py's
+    module docstring; reference: moment_editor.py:138-172).  Extra keys
+    kept from the earlier build: `9` approve-moment metadata tag, ESC
+    saves + quits.  `max_ticks` bounds the loop for headless tests.
     """
     import carla
     import pygame
 
-    from multiverse_tpu.forking_paths.annotation import (
-        add_x_agent_destination,
-        approve_moment,
-        remove_x_agent,
-    )
+    from multiverse_tpu.forking_paths.annotation import approve_moment
+    from multiverse_tpu.forking_paths.editor import MomentEditor
 
     pygame.init()
     display = pygame.display.set_mode((width, height))
@@ -322,25 +393,41 @@ def run_moment_editor(
     world = client.get_world()
     bp_lib = world.get_blueprint_library()
 
-    pose = Transform(z=30.0, pitch=-50.0)
-    rig = CameraRig(pose, width, height, fov)
-    t = carla.Transform(
-        location=carla.Location(pose.x, pose.y, pose.z),
-        rotation=carla.Rotation(pitch=pose.pitch))
-    rgb_bp = bp_lib.find("sensor.camera.rgb")
-    depth_bp = bp_lib.find("sensor.camera.depth")
-    for bp in (rgb_bp, depth_bp):
-        bp.set_attribute("image_size_x", str(width))
-        bp.set_attribute("image_size_y", str(height))
-        bp.set_attribute("fov", str(fov))
-    rgb_cam = world.spawn_actor(rgb_bp, t)
-    depth_cam = world.spawn_actor(depth_bp, t)
+    ed = MomentEditor(moment_data, fov=fov)
+    cams = {"rgb": None, "depth": None}
     last = {"rgb": None, "depth": None}
-    rgb_cam.listen(lambda im: last.__setitem__("rgb", im))
-    depth_cam.listen(lambda im: last.__setitem__("depth", im))
 
-    cur = 0
-    selected_pid = 0
+    def rebuild_cameras():
+        """(Re)spawn the rgb+depth rig at the editor's pose/fov —
+        sensor fov is immutable after spawn, so zooming replaces the
+        actors (reference: moment_editor.py:104-136 set_camera_fov)."""
+        for cam in cams.values():
+            if cam is not None:
+                cam.stop()
+                cam.destroy()
+        t = carla.Transform(
+            location=carla.Location(ed.pose.x, ed.pose.y, ed.pose.z),
+            rotation=carla.Rotation(
+                pitch=ed.pose.pitch, yaw=ed.pose.yaw, roll=ed.pose.roll))
+        for kind, bp_name in (("rgb", "sensor.camera.rgb"),
+                              ("depth", "sensor.camera.depth")):
+            bp = bp_lib.find(bp_name)
+            bp.set_attribute("image_size_x", str(width))
+            bp.set_attribute("image_size_y", str(height))
+            bp.set_attribute("fov", str(ed.fov))
+            cams[kind] = world.spawn_actor(bp, t)
+            cams[kind].listen(
+                lambda im, k=kind: last.__setitem__(k, im))
+
+    def move_cameras():
+        t = carla.Transform(
+            location=carla.Location(ed.pose.x, ed.pose.y, ed.pose.z),
+            rotation=carla.Rotation(
+                pitch=ed.pose.pitch, yaw=ed.pose.yaw, roll=ed.pose.roll))
+        for cam in cams.values():
+            cam.set_transform(t)
+
+    rebuild_cameras()
 
     def replay(moment):
         adapter = CarlaAdapter(
@@ -349,9 +436,7 @@ def run_moment_editor(
             (bp_lib.filter("vehicle.*"), [0]),
             use_collision_sensors=False)
         state = SimState()
-        total = max((int(float(k))
-                     for k in moment["ped_controls"]), default=0) + 1
-        for frame_id in range(total):
+        for frame_id in range(ed.total_frames()):
             adapter.execute(plan_frame(
                 frame_id, moment["ped_controls"],
                 moment.get("vehicle_controls", {}), state), state)
@@ -361,8 +446,53 @@ def run_moment_editor(
                 pygame.display.flip()
         adapter.cleanup()
 
+    keydown = {
+        pygame.K_RIGHTBRACKET: lambda: ed.cycle_moment(+1),
+        pygame.K_LEFTBRACKET: lambda: ed.cycle_moment(-1),
+        pygame.K_p: ed.toggle_save,
+        pygame.K_o: ed.toggle_save_all,
+        pygame.K_l: ed.duplicate_moment,
+        pygame.K_v: lambda: (ed.anchor_view(scene_registry),
+                             rebuild_cameras()),
+        pygame.K_COMMA: lambda: ed.select_actor(-1),
+        pygame.K_PERIOD: lambda: ed.select_actor(+1),
+        pygame.K_BACKSPACE: ed.delete_selected_actor,
+        pygame.K_SPACE: ed.toggle_static,
+        pygame.K_RETURN: ed.toggle_traj,
+        pygame.K_q: ed.delete_last_timestep,
+        pygame.K_e: ed.toggle_new_actor_mode,
+        pygame.K_1: ed.toggle_new_actor_type,
+        pygame.K_f: lambda: ed.set_all_stationary("person"),
+        pygame.K_c: lambda: ed.set_all_stationary("vehicle"),
+        pygame.K_MINUS: lambda: ed.scrub(-1),
+        pygame.K_EQUALS: lambda: ed.scrub(+1),
+        pygame.K_x: ed.set_x_agent,
+        pygame.K_z: ed.delete_last_destination,
+        pygame.K_r: lambda: (ed.reset_camera(), move_cameras()),
+        pygame.K_n: lambda: (ed.zoom(+5.0), rebuild_cameras()),
+        pygame.K_m: lambda: (ed.zoom(-5.0), rebuild_cameras()),
+        pygame.K_t: lambda: print(ed.camera_str()),
+        pygame.K_g: lambda: replay(ed.moment),
+        pygame.K_9: lambda: moment_data.__setitem__(
+            ed.cur, approve_moment(ed.moment)),
+    }
+    move_keys = {
+        pygame.K_w: dict(forward=1.0),
+        pygame.K_s: dict(forward=-1.0),
+        pygame.K_a: dict(strafe=-1.0),
+        pygame.K_d: dict(strafe=1.0),
+        pygame.K_u: dict(dz=-1.0),
+        pygame.K_i: dict(dz=1.0),
+        pygame.K_LEFT: dict(dyaw=-2.0),
+        pygame.K_RIGHT: dict(dyaw=2.0),
+        pygame.K_UP: dict(dpitch=2.0),
+        pygame.K_DOWN: dict(dpitch=-2.0),
+    }
+
+    ticks = 0
     try:
-        while True:
+        while max_ticks is None or ticks < max_ticks:
+            ticks += 1
             clock.tick(30)
             for event in pygame.event.get():
                 if event.type == pygame.QUIT:
@@ -370,21 +500,9 @@ def run_moment_editor(
                 if event.type == pygame.KEYDOWN:
                     if event.key == pygame.K_ESCAPE:
                         raise KeyboardInterrupt
-                    if event.key == pygame.K_RIGHTBRACKET:
-                        cur = (cur + 1) % len(moment_data)
-                    if event.key == pygame.K_LEFTBRACKET:
-                        cur = (cur - 1) % len(moment_data)
-                    if event.key == pygame.K_g:
-                        replay(moment_data[cur])
-                    if event.key == pygame.K_o:
-                        moment_data[cur] = approve_moment(moment_data[cur])
-                        print("approved moment %d" % cur)
-                    if event.key == pygame.K_u:
-                        moment_data[cur] = remove_x_agent(
-                            moment_data[cur], selected_pid)
-                    if pygame.K_0 <= event.key <= pygame.K_9:
-                        selected_pid = event.key - pygame.K_0
-                        print("selected x-agent pid %d" % selected_pid)
+                    fn = keydown.get(event.key)
+                    if fn is not None:
+                        fn()
                 if event.type == pygame.MOUSEBUTTONDOWN \
                         and last["depth"] is not None:
                     u, v = event.pos
@@ -392,12 +510,20 @@ def run_moment_editor(
                         last["depth"].raw_data, np.uint8).reshape(
                         height, width, 4)[:, :, 2::-1]
                     d = parse_carla_depth(depth_img)[v, u]
+                    rig = CameraRig(ed.pose, width, height, ed.fov)
                     xyz = pixel_to_world(u, v, d, rig)
-                    moment_data[cur] = add_x_agent_destination(
-                        moment_data[cur], selected_pid,
+                    target = ed.add_control_point(
                         [float(xyz[0]), float(xyz[1]), float(xyz[2])])
-                    print("moment %d: pid %d destination %s" % (
-                        cur, selected_pid, np.round(xyz, 2).tolist()))
+                    print("moment %d: %s control point %s" % (
+                        ed.cur, target, np.round(xyz, 2).tolist()))
+            pressed = pygame.key.get_pressed()
+            moved = False
+            for key, kw in move_keys.items():
+                if pressed[key]:
+                    ed.move_camera(**kw)
+                    moved = True
+            if moved:
+                move_cameras()
             world.tick()
             if last["rgb"] is not None:
                 display.blit(_pygame_surface(pygame, last["rgb"]), (0, 0))
@@ -405,13 +531,15 @@ def run_moment_editor(
     except KeyboardInterrupt:
         pass
     finally:
-        for cam in (rgb_cam, depth_cam):
-            cam.stop()
-            cam.destroy()
+        for cam in cams.values():
+            if cam is not None:
+                cam.stop()
+                cam.destroy()
         pygame.quit()
+    saved = ed.saved_moments()
     with open(out_file, "w") as f:
-        json.dump(moment_data, f)
-    return moment_data
+        json.dump(saved, f)
+    return saved
 
 
 def moment_editor_main(argv=None) -> None:
@@ -447,6 +575,10 @@ def annotate_main(argv=None) -> None:
     parser.add_argument("--video_fps", type=float, default=30.0)
     parser.add_argument("--obs_length", type=int, default=12)
     parser.add_argument("--pred_length", type=int, default=26)
+    parser.add_argument("--max_attempts", type=int, default=None,
+                        help="skip a task after N failed tries "
+                             "(default: retry forever, as the "
+                             "reference does)")
     args = parser.parse_args(argv)
     with open(args.moment_json) as f:
         moment_data = json.load(f)
@@ -455,7 +587,7 @@ def annotate_main(argv=None) -> None:
     saved = run_annotation_game(
         client, moment_data, args.out_file,
         video_fps=args.video_fps, obs_length=args.obs_length,
-        pred_length=args.pred_length)
+        pred_length=args.pred_length, max_attempts=args.max_attempts)
     print("saved %d annotations -> %s" % (len(saved), args.out_file))
 
 
