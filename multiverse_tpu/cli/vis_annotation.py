@@ -11,8 +11,14 @@
                              get_frames_and_scene_seg.py)
     mvt-plot-traj-carla      replay world trajectories as debug arrows
                              on a CARLA map (reference:
-                             plot_traj_carla.py / batch_plot_traj_carla
-                             — needs a CARLA server)
+                             plot_traj_carla.py — needs a CARLA server)
+    mvt-batch-plot-traj-carla
+                             convert whole directories of world
+                             trajectories to CARLA map coordinates
+                             using the per-scene ground calibrations,
+                             with --job/--curJob sharding (reference:
+                             batch_plot_traj_carla.py:1-132; pure
+                             conversion, no server needed)
 """
 
 from __future__ import annotations
@@ -195,6 +201,86 @@ def plot_traj_carla_main(argv=None) -> None:
                 color=carla.Color(r=255),
                 life_time=args.line_time)
     print("drew %d trajectories" % len(np.unique(placed[:, 1])))
+
+
+def _write_carla_traj(path: str, placed, z: float) -> None:
+    with open(path, "w") as f:
+        for r in placed:
+            f.write("%.1f\t%.1f\t%.3f\t%.3f\t%.3f\n" % (
+                r[0], r[1], r[2], r[3], z))
+
+
+def batch_plot_traj_carla_main(argv=None) -> None:
+    """Batch world→CARLA trajectory conversion (reference:
+    batch_plot_traj_carla.py:1-132).  ActEV mode (vehicle path given)
+    uses the per-scene GROUND_CALIBRATIONS and skips scene 0002;
+    otherwise the ETH/UCY calibration applies to every file.  Unlike
+    the reference (one python subprocess per file), conversion runs
+    in-process, and --job/--curJob shards the file list the way the
+    reference's other batch tools do
+    (reference: vis_multifuture_trajs_video.py:22-24)."""
+    import numpy as np
+
+    from multiverse_tpu.forking_paths.moments import (
+        ETHUCY_GROUND_CALIBRATION,
+        GROUND_CALIBRATIONS,
+        get_scene,
+        world_to_carla,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("traj_world_path", help="dir of *.txt "
+                                                "(frame pid x y [z])")
+    parser.add_argument("save_carla_traj_path")
+    parser.add_argument("--traj_vehicle_world_path", default=None)
+    parser.add_argument("--save_carla_vehicle_path", default=None)
+    parser.add_argument("--job", type=int, default=1)
+    parser.add_argument("--curJob", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    files = sorted(glob(os.path.join(args.traj_world_path, "*.txt")))
+    files = files[args.curJob - 1::args.job]
+    os.makedirs(args.save_carla_traj_path, exist_ok=True)
+    is_actev = args.traj_vehicle_world_path is not None
+    if is_actev:
+        assert args.save_carla_vehicle_path is not None
+        os.makedirs(args.save_carla_vehicle_path, exist_ok=True)
+
+    done = skipped = 0
+    for ped_file in files:
+        name = os.path.splitext(os.path.basename(ped_file))[0]
+        if is_actev:
+            scene = get_scene(name)
+            if scene == "0002":  # no CARLA recreation of this scene
+                skipped += 1
+                continue
+            calib = GROUND_CALIBRATIONS[scene]
+        else:
+            scene, calib = None, ETHUCY_GROUND_CALIBRATION
+
+        def convert(path):
+            rows = np.asarray(
+                [line.strip().split("\t") for line in open(path)],
+                np.float64)
+            return world_to_carla(
+                rows, scene, calib["origin"], calib["carla_rotate"],
+                scale=calib["scale"],
+                world_rotate_deg=calib["world_rotate"])
+
+        _write_carla_traj(
+            os.path.join(args.save_carla_traj_path, "%s.txt" % name),
+            convert(ped_file), calib["origin"][2])
+        if is_actev:
+            veh_file = os.path.join(
+                args.traj_vehicle_world_path, "%s.txt" % name)
+            if os.path.exists(veh_file):
+                _write_carla_traj(
+                    os.path.join(args.save_carla_vehicle_path,
+                                 "%s.txt" % name),
+                    convert(veh_file), calib["origin"][2])
+        done += 1
+    print("converted %d files (%d skipped) -> %s"
+          % (done, skipped, args.save_carla_traj_path))
 
 
 if __name__ == "__main__":

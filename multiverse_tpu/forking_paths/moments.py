@@ -297,6 +297,25 @@ ACTEV_WORLD_NORM = {
 }
 
 
+# hand-calibrated ground-plane placements of each real scene into its
+# CARLA map (dataset constants; reference:
+# batch_plot_traj_carla.py:22-55 `calibrations` / `calibration`)
+GROUND_CALIBRATIONS = {
+    "0000": {"world_rotate": 320.0, "carla_rotate": 130.0,
+             "scale": 1.0, "origin": (3.5, -48.0, 0.3)},
+    "0400": {"world_rotate": 100.0, "carla_rotate": 153.0,
+             "scale": 1.0, "origin": (-10.0, 58.0, 0.5)},
+    "0401": {"world_rotate": 120.0, "carla_rotate": 135.0,
+             "scale": 1.0, "origin": (-48.0, 24.0, 0.5)},
+    "0500": {"world_rotate": 90.0, "carla_rotate": 179.0,
+             "scale": 1.0, "origin": (-65.5, -75.5, 0.1)},
+}
+ETHUCY_GROUND_CALIBRATION = {
+    "world_rotate": 270.0, "carla_rotate": -3.04, "scale": 1.2,
+    "origin": (-44.0511921243, -79.6225002047, 0.0),
+}
+
+
 def rotate_xy(rows: np.ndarray, origin: Tuple[float, float],
               radians: float) -> np.ndarray:
     """Rotate trajectory rows' (x, y) columns about an origin
@@ -328,8 +347,15 @@ def world_to_carla(
     out = np.asarray(rows, np.float64).copy()
     if world_rotate_deg:
         out = rotate_xy(out, (0.0, 0.0), np.radians(world_rotate_deg))
-    (min_x, _), (min_y, _) = (ACTEV_WORLD_NORM[scene]["x"],
-                              ACTEV_WORLD_NORM[scene]["y"])
+    if scene in ACTEV_WORLD_NORM:
+        (min_x, _), (min_y, _) = (ACTEV_WORLD_NORM[scene]["x"],
+                                  ACTEV_WORLD_NORM[scene]["y"])
+    else:
+        # ETH/UCY path: no precomputed extent table — normalize by the
+        # (rotated) trajectory's own minimum
+        # (reference: plot_traj_carla.py non-actev branch)
+        min_x = float(out[:, 2].min())
+        min_y = float(out[:, 3].min())
     out[:, 2] = (out[:, 2] - min_x) * scale
     out[:, 3] = (out[:, 3] - min_y) * scale
     out = rotate_xy(out, (0.0, 0.0), np.radians(carla_rotation_deg))

@@ -136,3 +136,66 @@ def test_world_to_carla_transform():
 
     r = rotate_xy(np.asarray([[0.0, 0.0, 1.0, 0.0]]), (0, 0), np.pi / 2)
     np.testing.assert_allclose(r[0, 2:4], [0.0, 1.0], atol=1e-12)
+
+
+def test_batch_plot_traj_carla_cli(tmp_path):
+    """mvt-batch-plot-traj-carla: ActEV mode (per-scene calibration,
+    vehicle conversion, 0002 skip) + ETH/UCY mode + --job sharding
+    (reference: batch_plot_traj_carla.py:1-132)."""
+    import numpy as np
+
+    from multiverse_tpu.cli.vis_annotation import (
+        batch_plot_traj_carla_main,
+    )
+
+    ped_dir = tmp_path / "ped"
+    veh_dir = tmp_path / "veh"
+    ped_dir.mkdir()
+    veh_dir.mkdir()
+
+    def write(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write("\t".join("%s" % v for v in r) + "\n")
+
+    names = ["VIRAT_S_040000_01", "VIRAT_S_000201_02",
+             "VIRAT_S_000001_00"]
+    for name in names:
+        write(ped_dir / ("%s.txt" % name),
+              [[0, 1, -10.0, 5.0, 0.0], [1, 1, -9.0, 6.0, 0.0]])
+        write(veh_dir / ("%s.txt" % name),
+              [[0, 9, -5.0, 2.0, 0.0]])
+
+    out_ped = tmp_path / "out_ped"
+    out_veh = tmp_path / "out_veh"
+    batch_plot_traj_carla_main([
+        str(ped_dir), str(out_ped),
+        "--traj_vehicle_world_path", str(veh_dir),
+        "--save_carla_vehicle_path", str(out_veh)])
+
+    # 0002 skipped; 0400 and 0000 converted (ped + vehicle)
+    assert sorted(p.name for p in out_ped.iterdir()) == [
+        "VIRAT_S_000001_00.txt", "VIRAT_S_040000_01.txt"]
+    assert sorted(p.name for p in out_veh.iterdir()) == [
+        "VIRAT_S_000001_00.txt", "VIRAT_S_040000_01.txt"]
+    rows = np.loadtxt(out_ped / "VIRAT_S_040000_01.txt")
+    assert rows.shape == (2, 5)
+    assert np.all(rows[:, 4] == 0.5)  # 0400 calibrated origin z
+
+    # ETH/UCY mode (no vehicles): flat calibration for every file
+    out_eth = tmp_path / "out_eth"
+    batch_plot_traj_carla_main([str(ped_dir), str(out_eth)])
+    assert len(list(out_eth.iterdir())) == 3
+
+    # --job sharding partitions the file list
+    shard1 = tmp_path / "s1"
+    shard2 = tmp_path / "s2"
+    batch_plot_traj_carla_main(
+        [str(ped_dir), str(shard1), "--job", "2", "--curJob", "1"])
+    batch_plot_traj_carla_main(
+        [str(ped_dir), str(shard2), "--job", "2", "--curJob", "2"])
+    got = sorted(p.name for p in shard1.iterdir()) + \
+        sorted(p.name for p in shard2.iterdir())
+    assert sorted(got) == sorted("%s.txt" % n for n in names)
+    assert len(list(shard1.iterdir())) == 2
+    assert len(list(shard2.iterdir())) == 1
