@@ -46,6 +46,33 @@ WARMUP = 2
 ITERS = 8
 
 
+def _check_diversity_penalty_fusion(jax):
+    """Allocation guard for the diversity rank penalty
+    (models/beam_search.py add_diversity_penalty): the broadcasted
+    [NK, V, V] compares must stay inside a fusion.  XLA-TPU currently
+    compiles this to ZERO temp bytes; XLA-CPU materializes ~3.4 GB at
+    the same shape, which is what a TPU regression would look like.
+    Failing here fails the graded bench loudly instead of silently
+    costing N·K·576² per decode step."""
+    import jax.numpy as jnp
+
+    from multiverse_tpu.models.beam_search import add_diversity_penalty
+
+    NK, V = BATCH * 20, 18 * 32
+    x = jnp.zeros((NK, V), jnp.float32)
+    compiled = jax.jit(
+        lambda x: add_diversity_penalty(x, 0.01)).lower(x).compile()
+    ma = compiled.memory_analysis()
+    limit = 64 * 1024 * 1024
+    assert ma.temp_size_in_bytes < limit, (
+        f"diversity-penalty fusion regressed: temp "
+        f"{ma.temp_size_in_bytes} bytes >= {limit} (the [NK,V,V] "
+        f"compare is materializing)")
+    print(f"bench: diversity-penalty fusion OK "
+          f"(temp={ma.temp_size_in_bytes} bytes at [{NK},{V}])",
+          file=sys.stderr)
+
+
 def main():
     import jax
 
@@ -71,6 +98,9 @@ def main():
     dev = jax.devices()[0]
     print(f"bench: device={dev.platform}:{dev.device_kind}",
           file=sys.stderr)
+
+    if dev.platform == "tpu":
+        _check_diversity_penalty_fusion(jax)
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     inputs = synthesize_multifuture_inputs(

@@ -258,3 +258,26 @@ def test_diversity_rank_matches_stable_argsort():
         expected = x + _math.log(gamma) * ranks.astype(np.float32)
         got = np.asarray(add_diversity_penalty(jnp.asarray(x), gamma))
         np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-4)
+
+
+def test_diversity_penalty_fusion_guard_tpu():
+    """Allocation bound for add_diversity_penalty at beam shapes: on
+    TPU the broadcasted [NK, V, V] compares must fuse to (near-)zero
+    temp memory.  XLA-CPU does NOT fuse this (measured ~3.4 GB temp at
+    the same shape), so the guard only means something on TPU — in the
+    CPU CI mesh it skips; bench.py runs the same check on the real
+    chip every round."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("fusion guard is TPU-specific (CPU materializes)")
+
+    from multiverse_tpu.models.beam_search import add_diversity_penalty
+
+    x = jnp.zeros((1280, 576), jnp.float32)
+    compiled = jax.jit(
+        lambda x: add_diversity_penalty(x, 0.01)).lower(x).compile()
+    ma = compiled.memory_analysis()
+    assert ma.temp_size_in_bytes < 64 * 1024 * 1024
