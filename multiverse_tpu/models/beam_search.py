@@ -157,16 +157,26 @@ def diverse_beam_search(
              and use_gnn and not save_states)
 
     def step(carry, t):
-        state, prev_ids, logprob = carry
-        emb = emb_table[prev_ids.reshape(-1)]
+        state, prev_ids, prev_parents, logprob = carry
         if fused:
-            from multiverse_tpu.ops.pallas_decode import decode_step_pallas
+            # the beam reorder rides the kernel's HBM reads: program i
+            # reads its parent's state block and its id's embedding-
+            # table row directly (scalar-prefetch index maps), so no
+            # separate [N·K, h, w, D] gather pass exists at all
+            from multiverse_tpu.ops.pallas_decode import (
+                decode_step_pallas_gathered,
+            )
 
-            out, new_state_f, logits_t = decode_step_pallas(
-                cell_p, h2g_p, emb,
+            flat_parents = (
+                jnp.arange(N, dtype=jnp.int32)[:, None] * K
+                + prev_parents).reshape(-1)
+            out, new_state_f, logits_t = decode_step_pallas_gathered(
+                cell_p, h2g_p, prev_ids.reshape(-1), flat_parents,
+                emb_table,
                 ConvLSTMState(c=_fold(state.c), h=_fold(state.h)),
                 scene_nk, h, w)
         else:
+            emb = emb_table[prev_ids.reshape(-1)]
             # --- GNN residual on hidden, then embed + cell (folded)
             hh = _fold(state.h)
             if use_gnn:
@@ -209,23 +219,35 @@ def diverse_beam_search(
             c=new_state_f.c.reshape((N, K) + new_state_f.c.shape[1:]),
             h=new_state_f.h.reshape((N, K) + new_state_f.h.shape[1:]),
         )
-        new_state = ConvLSTMState(
-            c=_gather_beams(new_state.c, parents),
-            h=_gather_beams(new_state.h, parents),
-        )
-        if pred_length is not None:
-            keep = fin.reshape(N, 1, 1, 1, 1)
+        if fused:
+            # carry the kernel output un-reordered; the NEXT step's
+            # kernel reads through `parents`.  No state freeze for
+            # finished samples: with identity parents their state
+            # keeps evolving, but every observable output past
+            # pred_length (logits, ids, states) is sliced away by the
+            # consumers (inference.py reconstruction, the evaluators),
+            # so the evolution is unobservable — asserted by the
+            # variable-length tests comparing against per-sample runs.
+            carry_parents = parents
+        else:
             new_state = ConvLSTMState(
-                c=jnp.where(keep, state.c, new_state.c),
-                h=jnp.where(keep, state.h, new_state.h),
+                c=_gather_beams(new_state.c, parents),
+                h=_gather_beams(new_state.h, parents),
             )
+            if pred_length is not None:
+                keep = fin.reshape(N, 1, 1, 1, 1)
+                new_state = ConvLSTMState(
+                    c=jnp.where(keep, state.c, new_state.c),
+                    h=jnp.where(keep, state.h, new_state.h),
+                )
+            carry_parents = beam_iota
         emit = (ids, parents, logits_t)
         if save_states:
             emit = emit + (out.reshape(N, K, h, w, D),)
-        return (new_state, ids, new_logprob), emit
+        return (new_state, ids, carry_parents, new_logprob), emit
 
-    (_, _, final_logprobs), emits = jax.lax.scan(
-        step, (state0, ids0, logprob0), jnp.arange(T_pred)
+    (_, _, _, final_logprobs), emits = jax.lax.scan(
+        step, (state0, ids0, beam_iota, logprob0), jnp.arange(T_pred)
     )
     all_ids, all_parents, all_logits = emits[:3]  # [T, N, K(, HW)]
     all_states = emits[3] if save_states else None

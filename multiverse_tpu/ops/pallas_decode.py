@@ -328,6 +328,127 @@ def decode_step_pallas_v2(
             logits[:, :1].reshape(N, H, W, 1))
 
 
+def _decode_kernel_gathered(ids_ref, par_ref,
+                            h_ref, c_ref, emb_ref, scene_ref, mask_ref,
+                            cell_w_ref, cell_b_ref, h2g_w_ref,
+                            h_out_ref, c_out_ref, logits_ref,
+                            *, forget_bias: float, H: int, W: int,
+                            with_scene: bool):
+    """Same math as `_decode_kernel`; the h/c/emb blocks arrive
+    already parent-/id-selected by the scalar-prefetch index maps
+    (ids_ref/par_ref are consumed there), so emb_ref is the
+    (1, HW, E) table row."""
+    del ids_ref, par_ref
+    _decode_kernel(h_ref, c_ref, emb_ref[0], scene_ref, mask_ref,
+                   cell_w_ref, cell_b_ref, h2g_w_ref,
+                   h_out_ref, c_out_ref, logits_ref,
+                   forget_bias=forget_bias, H=H, W=W,
+                   with_scene=with_scene)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "forget_bias", "interpret"))
+def decode_step_pallas_gathered(
+    cell_params: dict,
+    h2g_params: dict,
+    prev_ids: jnp.ndarray,          # [NK] int32 previous cell per beam
+    parent_rows: jnp.ndarray,       # [NK] int32 global parent row ids
+    emb_table: jnp.ndarray,         # [HW, H, W, E] per-cell embeddings
+    state: ConvLSTMState,           # c/h [NK, H, W, D] in OLD beam order
+    scene_mean: Optional[jnp.ndarray],   # [NK, H, W, C] or None
+    H: int,
+    W: int,
+    forget_bias: float = 1.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, ConvLSTMState, jnp.ndarray]:
+    """Fused step with the beam reorder folded into the kernel's reads.
+
+    The beam loop's separate parent gather moves ~2×380 MB of state
+    through HBM per step (take_along_axis: read + write both c and h).
+    Here the scalar-prefetched `parent_rows` drive the h/c BlockSpec
+    index maps, so program i simply READS its parent's state block —
+    the reorder costs nothing — and `prev_ids` select the embedding
+    table row the same way (no [NK, H, W, E] gather materialized).
+    Output rows are in NEW beam order.  Exactness vs explicit gather +
+    :func:`decode_step_pallas` is asserted in tests.
+    """
+    NK = prev_ids.shape[0]
+    D = state.h.shape[-1]
+    E = emb_table.shape[-1]
+    Cin = E + D
+    HW = H * W
+    dtype = jnp.bfloat16
+
+    h_rows = state.h.astype(dtype).reshape(NK * HW, D)
+    c_rows = state.c.astype(dtype).reshape(NK * HW, D)
+    emb_rows = emb_table.astype(dtype).reshape(HW, HW, E)
+    with_scene = scene_mean is not None
+    if with_scene:
+        C = scene_mean.shape[-1]
+        scene_rows = scene_mean.astype(dtype).reshape(NK * HW, C)
+    else:
+        C = 1
+        scene_rows = jnp.zeros((NK * HW, 1), dtype)
+
+    mask = jnp.asarray(
+        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
+    cell_w = cell_params["kernel"].astype(dtype).reshape(
+        9 * Cin, 4 * D)
+    cell_b = cell_params["bias"].astype(jnp.float32).reshape(1, 4 * D)
+    h2g_w = h2g_params["w"].astype(dtype).reshape(9 * D, 1)
+    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 127)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,      # (prev_ids, parent_rows)
+        grid=(NK,),
+        in_specs=[
+            pl.BlockSpec((HW, D), lambda i, ids, par: (par[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, D), lambda i, ids, par: (par[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HW, E), lambda i, ids, par: (ids[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, C), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, HW), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * Cin, 4 * D), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * D), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * D, 128), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((HW, D), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, D), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, 128), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    new_h, new_c, logits = pl.pallas_call(
+        functools.partial(
+            _decode_kernel_gathered, forget_bias=forget_bias,
+            H=H, W=W, with_scene=with_scene),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((NK * HW, D), dtype),
+            jax.ShapeDtypeStruct((NK * HW, D), dtype),
+            jax.ShapeDtypeStruct((NK * HW, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(prev_ids.astype(jnp.int32), parent_rows.astype(jnp.int32),
+      h_rows, c_rows, emb_rows, scene_rows, mask,
+      cell_w, cell_b, h2g_w)
+
+    return (new_h.reshape(NK, H, W, D),
+            ConvLSTMState(c=new_c.reshape(NK, H, W, D),
+                          h=new_h.reshape(NK, H, W, D)),
+            logits[:, :1].reshape(NK, H, W, 1))
+
+
 @functools.partial(
     jax.jit, static_argnames=("H", "W", "forget_bias", "interpret"))
 def decode_step_pallas(

@@ -390,3 +390,42 @@ def test_pallas_decode_v2_matches_v1(rng):
         atol=0.05)
     np.testing.assert_allclose(
         np.asarray(l1), np.asarray(l2), atol=0.05)
+
+
+def test_pallas_decode_gathered_matches_gather_then_step(rng):
+    """decode_step_pallas_gathered (beam reorder folded into the
+    kernel's scalar-prefetch block reads) == explicit parent gather +
+    decode_step_pallas, in interpret mode."""
+    import jax.numpy as jnp
+
+    from multiverse_tpu.ops.convlstm import ConvLSTMState
+    from multiverse_tpu.ops.pallas_decode import (
+        decode_step_pallas,
+        decode_step_pallas_gathered,
+    )
+
+    H, W, D, E, C, NK = 6, 8, 16, 8, 4, 6
+    HW = H * W
+    cell = {"kernel": jnp.asarray(
+        rng.randn(3, 3, E + D, 4 * D), jnp.float32),
+        "bias": jnp.asarray(rng.randn(4 * D), jnp.float32)}
+    h2g = {"w": jnp.asarray(rng.randn(3, 3, D, 1), jnp.float32)}
+    emb_table = jnp.asarray(rng.randn(HW, H, W, E), jnp.float32)
+    state = ConvLSTMState(
+        c=jnp.asarray(rng.randn(NK, H, W, D), jnp.float32),
+        h=jnp.asarray(rng.randn(NK, H, W, D), jnp.float32))
+    scene = jnp.asarray(rng.randn(NK, H, W, C), jnp.float32)
+    ids = jnp.asarray(rng.randint(0, HW, NK), jnp.int32)
+    parents = jnp.asarray(rng.permutation(NK), jnp.int32)
+
+    st_g = ConvLSTMState(c=state.c[parents], h=state.h[parents])
+    _, s1, l1 = decode_step_pallas(
+        cell, h2g, emb_table[ids], st_g, scene[parents], H, W,
+        interpret=True)
+    _, s2, l2 = decode_step_pallas_gathered(
+        cell, h2g, ids, parents, emb_table, state, scene[parents],
+        H, W, interpret=True)
+    for a, b in [(s1.h, s2.h), (s1.c, s2.c), (l1, l2)]:
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-2, atol=2e-2)
