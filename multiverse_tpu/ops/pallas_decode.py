@@ -80,19 +80,23 @@ def _decode_kernel(h_ref, c_ref, emb_ref, scene_ref, mask_ref,
              + jax.nn.sigmoid(i) * jnp.tanh(g))
     new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
 
-    # ---- class readout: 3x3 conv to one channel, as one im2col matmul
-    nh_sp = jnp.pad(new_h.astype(h.dtype).reshape(H, W, D),
-                    ((1, 1), (1, 1), (0, 0)))
-    nh_patches = jnp.concatenate(
-        [nh_sp[dy:dy + H, dx:dx + W, :].reshape(HW, D)
-         for dy in (0, 1, 2) for dx in (0, 1, 2)],
-        axis=-1)                                         # [HW, 9·D]
-    logits = jnp.dot(nh_patches, h2g_w_ref[:],
-                     preferred_element_type=jnp.float32)  # [HW, 128]
+    # ---- class readout: 3x3 conv to ONE channel.  The im2col form
+    # ([HW, 9D] @ [9D, 1→128 lanes]) wastes 127/128 of its MXU FLOPs
+    # on lane padding; instead contract the channel dim first —
+    # P[p, s] = Σ_d new_h[p, d]·K[s, d]  (one [HW, D]×[D, 9] matmul)
+    # — then the conv is nine single-lane spatial shifts of P summed:
+    # logits[y, x] = Σ_s Ppad[y+dy_s, x+dx_s, s].
+    P = jnp.dot(new_h.astype(h.dtype), h2g_w_ref[:],
+                preferred_element_type=jnp.float32)       # [HW, 9(pad)]
+    P_sp = jnp.pad(P.reshape(H, W, P.shape[-1]),
+                   ((1, 1), (1, 1), (0, 0)))
+    logits = sum(
+        P_sp[dy:dy + H, dx:dx + W, 3 * dy + dx]
+        for dy in (0, 1, 2) for dx in (0, 1, 2))          # [H, W]
 
     h_out_ref[:] = new_h.astype(h_out_ref.dtype)
     c_out_ref[:] = new_c.astype(c_out_ref.dtype)
-    logits_ref[:] = logits
+    logits_ref[:] = logits.reshape(HW, 1)
 
 
 def _decode_kernel_v2(ids_ref, h_ref, c_ref, scene_ref, mask_ref,
@@ -395,8 +399,11 @@ def decode_step_pallas_gathered(
     cell_w = cell_params["kernel"].astype(dtype).reshape(
         9 * Cin, 4 * D)
     cell_b = cell_params["bias"].astype(jnp.float32).reshape(1, 4 * D)
-    h2g_w = h2g_params["w"].astype(dtype).reshape(9 * D, 1)
-    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 127)))
+    # [3, 3, D, 1] -> [D, 9] (w9[d, 3dy+dx] = K[dy, dx, d]),
+    # lane-padded; the kernel contracts channels first then sums
+    # nine single-lane spatial shifts (see _decode_kernel)
+    h2g_w = h2g_params["w"].astype(dtype).reshape(9, D).T
+    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 128 - 9)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,      # (prev_ids, parent_rows)
@@ -416,7 +423,7 @@ def decode_step_pallas_gathered(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * D), lambda i, ids, par: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * D, 128), lambda i, ids, par: (0, 0),
+            pl.BlockSpec((D, 128), lambda i, ids, par: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -424,7 +431,7 @@ def decode_step_pallas_gathered(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((HW, D), lambda i, ids, par: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HW, 128), lambda i, ids, par: (i, 0),
+            pl.BlockSpec((HW, 1), lambda i, ids, par: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
@@ -436,7 +443,7 @@ def decode_step_pallas_gathered(
         out_shape=(
             jax.ShapeDtypeStruct((NK * HW, D), dtype),
             jax.ShapeDtypeStruct((NK * HW, D), dtype),
-            jax.ShapeDtypeStruct((NK * HW, 128), jnp.float32),
+            jax.ShapeDtypeStruct((NK * HW, 1), jnp.float32),
         ),
         interpret=interpret,
     )(prev_ids.astype(jnp.int32), parent_rows.astype(jnp.int32),
@@ -446,7 +453,7 @@ def decode_step_pallas_gathered(
     return (new_h.reshape(NK, H, W, D),
             ConvLSTMState(c=new_c.reshape(NK, H, W, D),
                           h=new_h.reshape(NK, H, W, D)),
-            logits[:, :1].reshape(NK, H, W, 1))
+            logits.reshape(NK, H, W, 1))
 
 
 @functools.partial(
@@ -487,8 +494,11 @@ def decode_step_pallas(
         9 * Cin, 4 * D)
     cell_b = cell_params["bias"].astype(jnp.float32).reshape(1, 4 * D)
     # [3, 3, D, 1] → shift-major [9·D, 1], lane-padded to 128
-    h2g_w = h2g_params["w"].astype(dtype).reshape(9 * D, 1)
-    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 127)))
+    # [3, 3, D, 1] -> [D, 9] (w9[d, 3dy+dx] = K[dy, dx, d]),
+    # lane-padded; the kernel contracts channels first then sums
+    # nine single-lane spatial shifts (see _decode_kernel)
+    h2g_w = h2g_params["w"].astype(dtype).reshape(9, D).T
+    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 128 - 9)))
 
     new_h, new_c, logits = pl.pallas_call(
         functools.partial(_decode_kernel, forget_bias=forget_bias,
@@ -509,7 +519,7 @@ def decode_step_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * D), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * D, 128), lambda i: (0, 0),
+            pl.BlockSpec((D, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -517,13 +527,13 @@ def decode_step_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((HW, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HW, 128), lambda i: (i, 0),
+            pl.BlockSpec((HW, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N * HW, D), dtype),
             jax.ShapeDtypeStruct((N * HW, D), dtype),
-            jax.ShapeDtypeStruct((N * HW, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N * HW, 1), jnp.float32),
         ),
         interpret=interpret,
     )(h_rows, c_rows, emb_rows, scene_rows, mask,
@@ -532,4 +542,4 @@ def decode_step_pallas(
     return (new_h.reshape(N, H, W, D),
             ConvLSTMState(c=new_c.reshape(N, H, W, D),
                           h=new_h.reshape(N, H, W, D)),
-            logits[:, :1].reshape(N, H, W, 1))
+            logits.reshape(N, H, W, 1))
