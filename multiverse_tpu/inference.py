@@ -195,6 +195,7 @@ def greedy_forward(
         scene_mean=scene_mean,
         feedback="onehot",
         compute_dtype=compute_dtype,
+        allow_fused=True,  # inference-only path, never under grad
     )
     if cfg.use_single_decoder:
         D = states.shape[-1]

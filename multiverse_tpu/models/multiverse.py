@@ -179,7 +179,7 @@ def greedy_decode(
     feedback: str = "onehot",        # onehot | raw | teacher
     pred_gt: Optional[jnp.ndarray] = None,     # [N, T_pred, h, w, P]
     compute_dtype=None,
-    allow_pallas_gnn: bool = True,  # kept for API compat; unused
+    allow_fused: bool = False,  # fused decode kernel (inference only)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Autoregressive ConvLSTM decode via lax.scan.
 
@@ -199,6 +199,55 @@ def greedy_decode(
     emb_p = scale_params[emb_name]
     cell_p = scale_params[cell_name]
     h2g_p = scale_params[h2g_name]
+
+    # the class decoder's argmax-feedback loop on the TPU bf16
+    # inference path runs the fully-fused decode-step kernel (GNN +
+    # cell + readout in one VMEM pass, ops/pallas_decode.py), carrying
+    # the argmax CELL ID and looking its embedding up in a precomputed
+    # table — same structure as the beam decode, identity "parents".
+    # Gated on allow_fused because the fused kernel has no VJP
+    # (training differentiates through this decode).
+    fused = (
+        allow_fused
+        and feedback == "onehot"
+        and use_gnn
+        and compute_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and first_input.shape[-1] == 1
+        and h2g_p["w"].shape[-1] == 1
+    )
+    if fused:
+        from multiverse_tpu.geometry import one_hot_grid
+        from multiverse_tpu.ops.pallas_decode import (
+            decode_step_pallas_gathered,
+        )
+
+        N, H, W, _ = first_input.shape
+        HW = H * W
+        emb_table = conv2d(
+            emb_p, one_hot_grid(jnp.arange(HW), H, W),
+            activation=act, compute_dtype=compute_dtype)
+        ids0 = jnp.argmax(
+            first_input.reshape(N, HW), axis=1).astype(jnp.int32)
+        identity = jnp.arange(N, dtype=jnp.int32)
+        state0 = ConvLSTMState(
+            c=init_state.c.astype(compute_dtype),
+            h=init_state.h.astype(compute_dtype))
+        scene_f = None if scene_mean is None else \
+            scene_mean.astype(compute_dtype)
+
+        def fused_step(carry, t):
+            state, ids = carry
+            out, new_state, logits = decode_step_pallas_gathered(
+                cell_p, h2g_p, ids, identity, emb_table, state,
+                scene_f, H, W)
+            nxt = jnp.argmax(
+                logits.reshape(N, HW), axis=1).astype(jnp.int32)
+            return (new_state, nxt), (out, logits)
+
+        (_, _), (outs, logits) = jax.lax.scan(
+            fused_step, (state0, ids0), jnp.arange(T_pred))
+        return jnp.moveaxis(logits, 0, 1), jnp.moveaxis(outs, 0, 1)
 
     def step(carry, t):
         state, x = carry
@@ -313,6 +362,7 @@ def model_forward(
             feedback=class_fb,
             pred_gt=class_gt,
             compute_dtype=compute_dtype,
+            allow_fused=not is_train,
         )
         class_logits[i] = logits
         dec_states[i] = states
