@@ -10,8 +10,47 @@ the single dataclass config instead of a mutable namespace
 from __future__ import annotations
 
 import argparse
+import math
+import sys
 
 from multiverse_tpu.config import MultiverseConfig
+
+
+class LossBuffer:
+    """Device-side per-step loss buffer for the train loops.
+
+    A per-step scalar fetch stalls the TPU stream once per step (the
+    dominant cost on remote/tunneled backends); buffering loss scalars
+    on device and flushing one batched transfer every
+    --loss_fetch_period steps keeps the stream full.  The NaN abort
+    (reference: code/train.py:256-259) then fires within one period of
+    the bad step.
+    """
+
+    def __init__(self, loss_ma, period: int):
+        self._ma = loss_ma
+        self._period = max(1, period)
+        self._pending: list = []   # [(step, device scalar)]
+
+    def put(self, step: int, loss) -> None:
+        self._pending.append((step, loss))
+        if len(self._pending) >= self._period:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        import jax
+
+        steps = [s for s, _ in self._pending]
+        values = [float(v) for v in jax.device_get(
+            [v for _, v in self._pending])]
+        self._pending.clear()
+        for s, v in zip(steps, values):
+            if math.isnan(v):
+                print("nan loss at step %d" % s)
+                sys.exit(1)
+            self._ma.put(v)
 
 
 def add_model_args(parser: argparse.ArgumentParser) -> None:

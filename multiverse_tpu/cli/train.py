@@ -14,7 +14,6 @@ import argparse
 import json
 import math
 import os
-import sys
 
 import jax
 
@@ -129,28 +128,10 @@ def main(argv=None) -> None:
     finalperf = None
     global_step = int(jax.device_get(state.step))
 
+    from multiverse_tpu.cli.common import LossBuffer
     from multiverse_tpu.data.prefetch import prefetch
 
-    # per-step losses stay ON DEVICE and are flushed to host every
-    # --loss_fetch_period steps: a per-step scalar fetch would stall
-    # the TPU stream once per step (the dominant cost on remote/
-    # tunneled backends), while the flush is one small batched
-    # transfer.  The NaN abort (reference: code/train.py:256-259)
-    # then fires within loss_fetch_period steps of the bad step.
-    pending: list = []  # [(step, total_loss_device_scalar)]
-
-    def flush_pending():
-        if not pending:
-            return
-        steps = [s for s, _ in pending]
-        values = [float(v) for v in jax.device_get(
-            [v for _, v in pending])]
-        pending.clear()
-        for s, v in zip(steps, values):
-            if math.isnan(v):
-                print("nan loss at step %d" % s)
-                sys.exit(1)
-            loss_ma.put(v)
+    loss_buf = LossBuffer(loss_ma, args.loss_fetch_period)
 
     with mesh, profile_trace(args.profile):
         for batch, _ in prefetch(train_data.get_batches(
@@ -160,10 +141,10 @@ def main(argv=None) -> None:
             with timer:
                 state, losses = train_step(state, shard_batch(mesh, batch))
 
-            pending.append((global_step, losses["total"]))
+            loss_buf.put(global_step, losses["total"])
             if global_step % args.save_period == 0 \
                     or global_step == num_steps:
-                flush_pending()
+                loss_buf.flush()
                 wd_ma.put(float(jax.device_get(losses["wd"])))
 
                 host_params = jax.device_get(state.params)
@@ -183,9 +164,7 @@ def main(argv=None) -> None:
                     ckpt.save(global_step, host_params, best=True)
                     val_perf.append((loss_ma.me(), evalperf))
                 finalperf = evalperf
-            elif len(pending) >= max(1, args.loss_fetch_period):
-                flush_pending()
-        flush_pending()
+        loss_buf.flush()
 
     with open(os.path.join(outpath, "val_perf.json"), "w") as f:
         json.dump({"best": best, "val_perf": val_perf}, f, indent=2,

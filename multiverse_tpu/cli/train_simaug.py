@@ -14,7 +14,6 @@ import argparse
 import json
 import math
 import os
-import sys
 
 import jax
 
@@ -160,24 +159,10 @@ def main(argv=None) -> None:
         "multiview" if cfg.multiview_train else
         "standard_aug" if cfg.standard_aug else "clean"))
 
+    from multiverse_tpu.cli.common import LossBuffer
     from multiverse_tpu.data.prefetch import prefetch
 
-    # device-side loss buffer, flushed every loss_fetch_period steps —
-    # a per-step scalar fetch stalls the TPU stream (see cli/train.py)
-    pending: list = []
-
-    def flush_pending():
-        if not pending:
-            return
-        steps = [s for s, _ in pending]
-        values = [float(v) for v in jax.device_get(
-            [v for _, v in pending])]
-        pending.clear()
-        for s, v in zip(steps, values):
-            if math.isnan(v):
-                print("nan loss at step %d" % s)
-                sys.exit(1)
-            loss_ma.put(v)
+    loss_buf = LossBuffer(loss_ma, args.loss_fetch_period)
 
     for batch, _ in prefetch(train_data.get_batches(
             cfg.batch_size, num_steps=num_steps), depth=2):
@@ -185,14 +170,10 @@ def main(argv=None) -> None:
         rng, step_rng = jax.random.split(rng)
         with timer:
             state, losses = train_step(state, batch, step_rng)
-        pending.append((global_step, losses["total"]))
-        if len(pending) >= max(1, args.loss_fetch_period) \
-                and global_step % args.save_period != 0 \
-                and global_step != num_steps:
-            flush_pending()
+        loss_buf.put(global_step, losses["total"])
 
         if global_step % args.save_period == 0 or global_step == num_steps:
-            flush_pending()
+            loss_buf.flush()
             host_params = jax.device_get(state.params)
             ckpt.save(global_step, host_params)
             with mesh:
@@ -209,7 +190,7 @@ def main(argv=None) -> None:
                 ckpt.save(global_step, host_params, best=True)
             finalperf = evalperf
 
-    flush_pending()
+    loss_buf.flush()
     with open(os.path.join(outpath, "val_perf.json"), "w") as f:
         json.dump({"best": best}, f, indent=2, default=float)
     if finalperf is not None:

@@ -335,7 +335,9 @@ class MomentEditor:
 
     def delete_last_destination(self) -> Optional[List[float]]:
         """`z` — pop the selected x-agent's last destination."""
-        if self.selected is None:
+        if self.selected is None or self.selected[0] != "person":
+            # pids are per-kind: a selected vehicle sharing a person's
+            # pid must not touch that person's x-agent entry
             return None
         x_agents = self.moment.get("x_agents", {})
         for key in (str(int(self.selected[1])), str(self.selected[1])):

@@ -181,7 +181,11 @@ def run_annotation_game(
                     pygame.display.flip()
                     del frames[:]
                 frame_id += 1
-                if frame_id > max_frame:
+                if not restart and frame_id > max_frame:
+                    # timeout only if the attempt is still running —
+                    # a reach/collision at exactly max_frame already
+                    # resolved this attempt (and possibly advanced to
+                    # the next task)
                     session.step(frame_id, [1e9, 1e9, 1e9])
                     restart = True
                 if restart and max_attempts is not None \
@@ -440,7 +444,7 @@ def run_moment_editor(
             adapter.execute(plan_frame(
                 frame_id, moment["ped_controls"],
                 moment.get("vehicle_controls", {}), state), state)
-            world.tick()
+            _advance(world)
             if last["rgb"] is not None:
                 display.blit(_pygame_surface(pygame, last["rgb"]), (0, 0))
                 pygame.display.flip()
@@ -524,7 +528,7 @@ def run_moment_editor(
                     moved = True
             if moved:
                 move_cameras()
-            world.tick()
+            _advance(world)
             if last["rgb"] is not None:
                 display.blit(_pygame_surface(pygame, last["rgb"]), (0, 0))
                 pygame.display.flip()

@@ -347,15 +347,17 @@ def world_to_carla(
     out = np.asarray(rows, np.float64).copy()
     if world_rotate_deg:
         out = rotate_xy(out, (0.0, 0.0), np.radians(world_rotate_deg))
-    if scene in ACTEV_WORLD_NORM:
-        (min_x, _), (min_y, _) = (ACTEV_WORLD_NORM[scene]["x"],
-                                  ACTEV_WORLD_NORM[scene]["y"])
-    else:
+    if scene is None:
         # ETH/UCY path: no precomputed extent table — normalize by the
         # (rotated) trajectory's own minimum
         # (reference: plot_traj_carla.py non-actev branch)
         min_x = float(out[:, 2].min())
         min_y = float(out[:, 3].min())
+    else:
+        # named scenes must be in the table: a typo'd ActEV key would
+        # otherwise silently produce wrongly placed coordinates
+        (min_x, _), (min_y, _) = (ACTEV_WORLD_NORM[scene]["x"],
+                                  ACTEV_WORLD_NORM[scene]["y"])
     out[:, 2] = (out[:, 2] - min_x) * scale
     out[:, 3] = (out[:, 3] - min_y) * scale
     out = rotate_xy(out, (0.0, 0.0), np.radians(carla_rotation_deg))

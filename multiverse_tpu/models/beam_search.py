@@ -151,9 +151,12 @@ def diverse_beam_search(
     # fully-fused decode-step kernel (GNN + cell + readout in one VMEM
     # pass, ops/pallas_decode.py) on the TPU bf16 path; the state-saving
     # single-decoder variant needs the raw cell outputs and stays on
-    # the composed path
+    # the composed path.  Tests exercise this wiring on CPU by setting
+    # pallas_decode.FORCE_INTERPRET_FUSED (interpret-mode kernels).
+    from multiverse_tpu.ops import pallas_decode
+
     fused = (compute_dtype == jnp.bfloat16
-             and jax.default_backend() == "tpu"
+             and pallas_decode.fused_decode_available()
              and use_gnn and not save_states)
 
     def step(carry, t):
@@ -163,18 +166,16 @@ def diverse_beam_search(
             # reads its parent's state block and its id's embedding-
             # table row directly (scalar-prefetch index maps), so no
             # separate [N·K, h, w, D] gather pass exists at all
-            from multiverse_tpu.ops.pallas_decode import (
-                decode_step_pallas_gathered,
-            )
-
             flat_parents = (
                 jnp.arange(N, dtype=jnp.int32)[:, None] * K
                 + prev_parents).reshape(-1)
-            out, new_state_f, logits_t = decode_step_pallas_gathered(
-                cell_p, h2g_p, prev_ids.reshape(-1), flat_parents,
-                emb_table,
-                ConvLSTMState(c=_fold(state.c), h=_fold(state.h)),
-                scene_nk, h, w)
+            out, new_state_f, logits_t = \
+                pallas_decode.decode_step_pallas_gathered(
+                    cell_p, h2g_p, prev_ids.reshape(-1), flat_parents,
+                    emb_table,
+                    ConvLSTMState(c=_fold(state.c), h=_fold(state.h)),
+                    scene_nk, h, w,
+                    interpret=pallas_decode.fused_decode_interpret())
         else:
             emb = emb_table[prev_ids.reshape(-1)]
             # --- GNN residual on hidden, then embed + cell (folded)
@@ -225,9 +226,9 @@ def diverse_beam_search(
             # finished samples: with identity parents their state
             # keeps evolving, but every observable output past
             # pred_length (logits, ids, states) is sliced away by the
-            # consumers (inference.py reconstruction, the evaluators),
-            # so the evolution is unobservable — asserted by the
-            # variable-length tests comparing against per-sample runs.
+            # consumers (inference.py reconstruction, the evaluators).
+            # This exact wiring runs under CI via interpret-mode
+            # kernels (test_fused_beam_wiring_matches_per_sample).
             carry_parents = parents
         else:
             new_state = ConvLSTMState(

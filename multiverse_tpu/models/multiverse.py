@@ -207,20 +207,19 @@ def greedy_decode(
     # table — same structure as the beam decode, identity "parents".
     # Gated on allow_fused because the fused kernel has no VJP
     # (training differentiates through this decode).
+    from multiverse_tpu.ops import pallas_decode
+
     fused = (
         allow_fused
         and feedback == "onehot"
         and use_gnn
         and compute_dtype == jnp.bfloat16
-        and jax.default_backend() == "tpu"
+        and pallas_decode.fused_decode_available()
         and first_input.shape[-1] == 1
         and h2g_p["w"].shape[-1] == 1
     )
     if fused:
         from multiverse_tpu.geometry import one_hot_grid
-        from multiverse_tpu.ops.pallas_decode import (
-            decode_step_pallas_gathered,
-        )
 
         N, H, W, _ = first_input.shape
         HW = H * W
@@ -238,9 +237,11 @@ def greedy_decode(
 
         def fused_step(carry, t):
             state, ids = carry
-            out, new_state, logits = decode_step_pallas_gathered(
-                cell_p, h2g_p, ids, identity, emb_table, state,
-                scene_f, H, W)
+            out, new_state, logits = \
+                pallas_decode.decode_step_pallas_gathered(
+                    cell_p, h2g_p, ids, identity, emb_table, state,
+                    scene_f, H, W,
+                    interpret=pallas_decode.fused_decode_interpret())
             nxt = jnp.argmax(
                 logits.reshape(N, HW), axis=1).astype(jnp.int32)
             return (new_state, nxt), (out, logits)

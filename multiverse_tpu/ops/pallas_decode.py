@@ -29,6 +29,25 @@ from jax.experimental.pallas import tpu as pltpu
 from multiverse_tpu.ops.convlstm import ConvLSTMState
 from multiverse_tpu.ops.gnn import gnn_neighbor_mask
 
+# Tests set this True to exercise the fused decode-path WIRING
+# (beam_search / greedy_decode) on CPU: the availability gates then
+# treat the backend as fused-capable and the kernels run in pallas
+# interpret mode.  Without it the fused branches would only ever
+# execute on real TPU hardware — invisible to the CI suite.
+FORCE_INTERPRET_FUSED = False
+
+
+def fused_decode_available() -> bool:
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu" or FORCE_INTERPRET_FUSED
+
+
+def fused_decode_interpret() -> bool:
+    import jax as _jax
+
+    return _jax.default_backend() != "tpu"
+
 
 def _decode_kernel(h_ref, c_ref, emb_ref, scene_ref, mask_ref,
                    cell_w_ref, cell_b_ref, h2g_w_ref,

@@ -281,3 +281,36 @@ def test_diversity_penalty_fusion_guard_tpu():
         lambda x: add_diversity_penalty(x, 0.01)).lower(x).compile()
     ma = compiled.memory_analysis()
     assert ma.temp_size_in_bytes < 64 * 1024 * 1024
+
+
+def test_fused_beam_wiring_matches_per_sample(rng, monkeypatch):
+    """The fused decode path's scan wiring — flat-parent construction,
+    un-reordered state carry, variable-length freeze with identity
+    parents, backtrace — exercised ON CPU via interpret-mode kernels
+    (pallas_decode.FORCE_INTERPRET_FUSED).  Batched fused decode must
+    equal per-sample fused decode exactly: both run the same kernel
+    with the same rounding, so any difference is a wiring bug."""
+    from multiverse_tpu.ops import pallas_decode
+
+    monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
+    cfg, sp, first, state, scene_mean = _setup(rng)
+    dt = jnp.bfloat16
+    T = 6
+    lengths = jnp.array([6, 4])
+    out = diverse_beam_search(
+        sp, cfg, first, state, T, pred_length=lengths,
+        scene_mean=scene_mean, compute_dtype=dt)
+
+    for n, t_n in ((0, 6), (1, 4)):
+        s_n = ConvLSTMState(c=state.c[n:n + 1], h=state.h[n:n + 1])
+        out_n = diverse_beam_search(
+            sp, cfg, first[n:n + 1], s_n, t_n,
+            scene_mean=scene_mean[n:n + 1], compute_dtype=dt)
+        np.testing.assert_array_equal(
+            np.asarray(out.ids[n, :, :t_n]), np.asarray(out_n.ids[0]))
+        np.testing.assert_allclose(
+            np.asarray(out.logprobs[n]), np.asarray(out_n.logprobs[0]),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.logits[n, :, :t_n]),
+            np.asarray(out_n.logits[0]), rtol=1e-5, atol=1e-5)

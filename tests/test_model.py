@@ -285,3 +285,50 @@ def test_dual_scale_evaluate(rng):
     h1, w1 = cfg.scene_grids[1]
     diag = np.hypot(cfg.video_h / h1, cfg.video_w / w1)
     assert perf["grid1_traj_centerOnly_ade"] <= diag
+
+
+def test_fused_greedy_wiring_interpret(rng, monkeypatch):
+    """greedy_decode's fused branch (argmax-id carry, emb table,
+    identity parents) exercised on CPU in interpret mode: batched ==
+    per-sample exactly, and the first step (no feedback divergence
+    yet) matches the composed bf16 path within kernel tolerance."""
+    import jax.numpy as jnp
+
+    from multiverse_tpu.ops import pallas_decode
+    from synthetic import make_batch, tiny_config
+
+    cfg = tiny_config(compute_dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    batch, _ = make_batch(rng, cfg, 3)
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    i = cfg.active_scales[0]
+
+    composed = model_forward(params, jb, cfg, is_train=False)
+
+    monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
+    fused = model_forward(params, jb, cfg, is_train=False)
+
+    # first step: same inputs, bf16-rounding-level agreement
+    np.testing.assert_allclose(
+        np.asarray(fused.class_logits[i][:, 0], np.float32),
+        np.asarray(composed.class_logits[i][:, 0], np.float32),
+        rtol=3e-2, atol=3e-2)
+
+    # batched fused == per-sample fused (same kernel/rounding -> exact)
+    def slice_batch(b, n):
+        def cut(name, v):
+            if v is None or name == "scene_feat":
+                return v
+            if isinstance(v, tuple):
+                return tuple(x[n:n + 1] for x in v)
+            return v[n:n + 1]
+
+        return type(b)(**{name: cut(name, getattr(b, name))
+                          for name in b._fields})
+
+    for n in range(3):
+        one = model_forward(params, slice_batch(jb, n), cfg,
+                            is_train=False)
+        np.testing.assert_array_equal(
+            np.asarray(fused.class_logits[i][n]),
+            np.asarray(one.class_logits[i][0]))
