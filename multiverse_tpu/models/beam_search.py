@@ -158,6 +158,11 @@ def diverse_beam_search(
     fused = (compute_dtype == jnp.bfloat16
              and pallas_decode.fused_decode_available()
              and use_gnn and not save_states)
+    # opt-in int8 gate matmul (2x the bf16 MXU peak); quantized
+    # operands are precomputed ONCE here, outside the scan
+    quant8 = fused and cfg.decode_quant == "int8"
+    if quant8:
+        quant = pallas_decode.quantize_decode_weights(cell_p, emb_table)
 
     def step(carry, t):
         state, prev_ids, prev_parents, logprob = carry
@@ -169,13 +174,23 @@ def diverse_beam_search(
             flat_parents = (
                 jnp.arange(N, dtype=jnp.int32)[:, None] * K
                 + prev_parents).reshape(-1)
-            out, new_state_f, logits_t = \
-                pallas_decode.decode_step_pallas_gathered(
-                    cell_p, h2g_p, prev_ids.reshape(-1), flat_parents,
-                    emb_table,
-                    ConvLSTMState(c=_fold(state.c), h=_fold(state.h)),
-                    scene_nk, h, w,
-                    interpret=pallas_decode.fused_decode_interpret())
+            if quant8:
+                out, new_state_f, logits_t = \
+                    pallas_decode.decode_step_pallas_gathered_q8(
+                        quant, cell_p["bias"], h2g_p,
+                        prev_ids.reshape(-1), flat_parents,
+                        ConvLSTMState(c=_fold(state.c),
+                                      h=_fold(state.h)),
+                        scene_nk, h, w,
+                        interpret=pallas_decode.fused_decode_interpret())
+            else:
+                out, new_state_f, logits_t = \
+                    pallas_decode.decode_step_pallas_gathered(
+                        cell_p, h2g_p, prev_ids.reshape(-1), flat_parents,
+                        emb_table,
+                        ConvLSTMState(c=_fold(state.c), h=_fold(state.h)),
+                        scene_nk, h, w,
+                        interpret=pallas_decode.fused_decode_interpret())
         else:
             emb = emb_table[prev_ids.reshape(-1)]
             # --- GNN residual on hidden, then embed + cell (folded)

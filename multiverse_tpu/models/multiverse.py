@@ -234,14 +234,25 @@ def greedy_decode(
             h=init_state.h.astype(compute_dtype))
         scene_f = None if scene_mean is None else \
             scene_mean.astype(compute_dtype)
+        quant8 = cfg.decode_quant == "int8"
+        if quant8:
+            quant = pallas_decode.quantize_decode_weights(
+                cell_p, emb_table)
 
         def fused_step(carry, t):
             state, ids = carry
-            out, new_state, logits = \
-                pallas_decode.decode_step_pallas_gathered(
-                    cell_p, h2g_p, ids, identity, emb_table, state,
-                    scene_f, H, W,
-                    interpret=pallas_decode.fused_decode_interpret())
+            if quant8:
+                out, new_state, logits = \
+                    pallas_decode.decode_step_pallas_gathered_q8(
+                        quant, cell_p["bias"], h2g_p, ids, identity,
+                        state, scene_f, H, W,
+                        interpret=pallas_decode.fused_decode_interpret())
+            else:
+                out, new_state, logits = \
+                    pallas_decode.decode_step_pallas_gathered(
+                        cell_p, h2g_p, ids, identity, emb_table, state,
+                        scene_f, H, W,
+                        interpret=pallas_decode.fused_decode_interpret())
             nxt = jnp.argmax(
                 logits.reshape(N, HW), axis=1).astype(jnp.int32)
             return (new_state, nxt), (out, logits)

@@ -562,3 +562,228 @@ def decode_step_pallas(
             ConvLSTMState(c=new_c.reshape(N, H, W, D),
                           h=new_h.reshape(N, H, W, D)),
             logits.reshape(N, H, W, 1))
+
+
+# ------------------------------------------------------------------ int8
+#
+# The bf16 fused kernel runs the gate matmul at ~96% of the chip's bf16
+# MXU roofline — the only remaining lever is the MXU's int8 mode (2x the
+# bf16 peak on v5e).  Every input to the gate matmul is bounded, so the
+# quantization is STATIC (no in-kernel max reductions):
+#
+#   * the previous-cell embedding rows come from a precomputed table —
+#     quantized once per decode with per-channel scales s_emb[e];
+#   * the recurrent part is h + agg where h = tanh(c)*sigmoid(o) in
+#     (-1, 1) and agg is a softmax-weighted average of h values, so
+#     |h + agg| < 2 always — a fixed scale of 127/2;
+#
+# and the per-contraction-element dequant scales FOLD INTO THE WEIGHTS:
+# gates[c] = sum_k x_q[k] * (s_k * w[k, c]) = t_c * sum_k x_q[k] w_q[k, c]
+# with w_q per-output-channel int8 and t_c its f32 dequant scale.  The
+# kernel itself sees only int8 operands + one [4D] scale row; the
+# attention and class readout stay bf16 (14% of the FLOPs).
+#
+# Accuracy: the int8 rounding noise on the gate pre-activations is a few
+# x the bf16 path's (quantization step 1.6% of the h range vs bf16's
+# 0.4% relative) — beam-id fidelity vs the f32 path is measured on
+# trained checkpoints in tests/bench before this path is selected
+# (cfg.decode_quant == "int8", off by default).
+
+
+def quantize_decode_weights(cell_params: dict, emb_table: jnp.ndarray):
+    """Precompute the int8 decode operands from f32/bf16 params.
+
+    Returns (emb_q [HW, H, W, E] int8, w_q [9*Cin, 4D] int8,
+    t_c [1, 4D] f32 per-output-channel dequant scales).
+    """
+    E = emb_table.shape[-1]
+    kern = cell_params["kernel"].astype(jnp.float32)
+    Cin = kern.shape[2]
+    D4 = kern.shape[3]
+    kern = kern.reshape(9 * Cin, D4)
+
+    s_emb = jnp.maximum(
+        jnp.max(jnp.abs(emb_table.astype(jnp.float32)), axis=(0, 1, 2)),
+        1e-6) / 127.0                                    # [E]
+    s_h = 2.0 / 127.0
+    s_k = jnp.concatenate(
+        [s_emb, jnp.full((Cin - E,), s_h, jnp.float32)], axis=0)  # [Cin]
+    s_k9 = jnp.tile(s_k, 9)                              # [9*Cin]
+
+    w_eff = kern * s_k9[:, None]
+    t_c = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=0), 1e-12) / 127.0
+    w_q = jnp.round(w_eff / t_c[None, :]).astype(jnp.int8)
+
+    emb_q = jnp.clip(
+        jnp.round(emb_table.astype(jnp.float32)
+                  / s_emb[None, None, None, :]),
+        -127, 127).astype(jnp.int8)
+    return emb_q, w_q, t_c.reshape(1, D4)
+
+
+def _decode_kernel_gathered_q8(ids_ref, par_ref,
+                               h_ref, c_ref, emb_ref, scene_ref,
+                               mask_ref, cell_wq_ref, tq_ref,
+                               cell_b_ref, h2g_w_ref,
+                               h_out_ref, c_out_ref, logits_ref,
+                               *, forget_bias: float, H: int, W: int,
+                               with_scene: bool):
+    """int8-gate variant of `_decode_kernel_gathered`: identical
+    attention/readout; the im2col gate matmul runs int8 x int8 -> int32
+    on the MXU with statically-folded dequant scales."""
+    del ids_ref, par_ref
+    HW = H * W
+    D = h_ref.shape[-1]
+    E = emb_ref.shape[-1]
+    Cin = E + D
+
+    # ---- GNN (identical to _decode_kernel)
+    h = h_ref[:]
+    node = h
+    if with_scene:
+        node = jnp.concatenate([h, scene_ref[:]], axis=-1)
+    node_f = node.astype(jnp.float32)
+    sumsq = jnp.sum(node_f * node_f, axis=-1, keepdims=True)
+    node = (node_f * jax.lax.rsqrt(
+        jnp.maximum(sumsq, 1e-12))).astype(h.dtype)
+    edges = jnp.dot(node, node.T, preferred_element_type=jnp.float32)
+    edges = edges + mask_ref[:]
+    m = jnp.max(edges, axis=-1, keepdims=True)
+    e = jnp.exp(edges - m)
+    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(h.dtype)
+    agg = jnp.dot(attn, h, preferred_element_type=jnp.float32)
+    h2_f = h.astype(jnp.float32) + agg                   # f32 [HW, D]
+
+    # ---- quantize the recurrent half (|h2| < 2 by construction) and
+    # assemble int8 im2col patches with the pre-quantized emb row
+    h2_q = jnp.clip(jnp.round(h2_f * (127.0 / 2.0)),
+                    -127, 127).astype(jnp.int8)
+    xin = jnp.concatenate([emb_ref[0], h2_q], axis=-1)   # int8 [HW, Cin]
+    xin_sp = jnp.pad(xin.reshape(H, W, Cin),
+                     ((1, 1), (1, 1), (0, 0)))
+    patches = jnp.concatenate(
+        [xin_sp[dy:dy + H, dx:dx + W, :].reshape(HW, Cin)
+         for dy in (0, 1, 2) for dx in (0, 1, 2)],
+        axis=-1)                                         # int8 [HW, 9Cin]
+    acc = jnp.dot(patches, cell_wq_ref[:],
+                  preferred_element_type=jnp.int32)
+    gates = acc.astype(jnp.float32) * tq_ref[:] + cell_b_ref[:]
+    i = gates[:, :D]
+    g = gates[:, D:2 * D]
+    f = gates[:, 2 * D:3 * D]
+    o = gates[:, 3 * D:]
+    c_old = c_ref[:].astype(jnp.float32)
+    new_c = (jax.nn.sigmoid(f + forget_bias) * c_old
+             + jax.nn.sigmoid(i) * jnp.tanh(g))
+    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+
+    # ---- class readout (identical channel-first bf16 form)
+    P = jnp.dot(new_h.astype(h.dtype), h2g_w_ref[:],
+                preferred_element_type=jnp.float32)
+    P_sp = jnp.pad(P.reshape(H, W, P.shape[-1]),
+                   ((1, 1), (1, 1), (0, 0)))
+    logits = sum(
+        P_sp[dy:dy + H, dx:dx + W, 3 * dy + dx]
+        for dy in (0, 1, 2) for dx in (0, 1, 2))
+    h_out_ref[:] = new_h.astype(h_out_ref.dtype)
+    c_out_ref[:] = new_c.astype(c_out_ref.dtype)
+    logits_ref[:] = logits.reshape(HW, 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "forget_bias", "interpret"))
+def decode_step_pallas_gathered_q8(
+    quant: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    cell_bias: jnp.ndarray,
+    h2g_params: dict,
+    prev_ids: jnp.ndarray,          # [NK] int32 previous cell per beam
+    parent_rows: jnp.ndarray,       # [NK] int32 global parent row ids
+    state: ConvLSTMState,           # c/h [NK, H, W, D] OLD beam order
+    scene_mean: Optional[jnp.ndarray],
+    H: int,
+    W: int,
+    forget_bias: float = 1.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, ConvLSTMState, jnp.ndarray]:
+    """Beam-reorder-folded fused step with the int8 gate matmul.
+
+    ``quant`` is the (emb_q, w_q, t_c) triple from
+    :func:`quantize_decode_weights` (precompute ONCE per decode — it
+    contains full-table convs and weight reductions).
+    """
+    emb_q, w_q, t_c = quant
+    NK = prev_ids.shape[0]
+    D = state.h.shape[-1]
+    E = emb_q.shape[-1]
+    Cin = E + D
+    HW = H * W
+    dtype = jnp.bfloat16
+
+    h_rows = state.h.astype(dtype).reshape(NK * HW, D)
+    c_rows = state.c.astype(dtype).reshape(NK * HW, D)
+    emb_rows = emb_q.reshape(HW, HW, E)
+    with_scene = scene_mean is not None
+    if with_scene:
+        C = scene_mean.shape[-1]
+        scene_rows = scene_mean.astype(dtype).reshape(NK * HW, C)
+    else:
+        C = 1
+        scene_rows = jnp.zeros((NK * HW, 1), dtype)
+
+    mask = jnp.asarray(
+        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
+    cell_b = cell_bias.astype(jnp.float32).reshape(1, 4 * D)
+    h2g_w = h2g_params["w"].astype(dtype).reshape(9, D).T
+    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 128 - 9)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,      # (prev_ids, parent_rows)
+        grid=(NK,),
+        in_specs=[
+            pl.BlockSpec((HW, D), lambda i, ids, par: (par[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, D), lambda i, ids, par: (par[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HW, E), lambda i, ids, par: (ids[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, C), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, HW), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * Cin, 4 * D), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * D), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * D), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 128), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((HW, D), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, D), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, 1), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    new_h, new_c, logits = pl.pallas_call(
+        functools.partial(
+            _decode_kernel_gathered_q8, forget_bias=forget_bias,
+            H=H, W=W, with_scene=with_scene),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((NK * HW, D), dtype),
+            jax.ShapeDtypeStruct((NK * HW, D), dtype),
+            jax.ShapeDtypeStruct((NK * HW, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(prev_ids.astype(jnp.int32), parent_rows.astype(jnp.int32),
+      h_rows, c_rows, emb_rows, scene_rows, mask,
+      w_q, t_c, cell_b, h2g_w)
+
+    return (new_h.reshape(NK, H, W, D),
+            ConvLSTMState(c=new_c.reshape(NK, H, W, D),
+                          h=new_h.reshape(NK, H, W, D)),
+            logits.reshape(NK, H, W, 1))

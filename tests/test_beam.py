@@ -314,3 +314,44 @@ def test_fused_beam_wiring_matches_per_sample(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(out.logits[n, :, :t_n]),
             np.asarray(out_n.logits[0]), rtol=1e-5, atol=1e-5)
+
+
+def test_q8_beam_wiring_interpret(rng, monkeypatch):
+    """The int8 fused decode path (cfg.decode_quant="int8") on CPU via
+    interpret-mode kernels.  Two properties:
+
+    * wiring determinism — batched q8 decode equals per-sample q8
+      decode exactly (same kernel, same rounding; any difference is a
+      parent/backtrace bug);
+    * the quantized operands are actually int8 and the first step's
+      candidate scores track the bf16 fused path (before any beam
+      divergence can compound)."""
+    from multiverse_tpu.ops import pallas_decode
+
+    monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
+    cfg, sp, first, state, scene_mean = _setup(rng)
+    cfg8 = cfg.replace(decode_quant="int8")
+    dt = jnp.bfloat16
+    T = 5
+    out8 = diverse_beam_search(
+        sp, cfg8, first, state, T, scene_mean=scene_mean,
+        compute_dtype=dt)
+    out16 = diverse_beam_search(
+        sp, cfg, first, state, T, scene_mean=scene_mean,
+        compute_dtype=dt)
+    # step-0 candidates come from identical (beam 0) inputs in both
+    # paths: quantization noise must stay small there
+    np.testing.assert_allclose(
+        np.asarray(out8.logits[:, :, 0]), np.asarray(out16.logits[:, :, 0]),
+        atol=0.1)
+
+    for n in range(first.shape[0]):
+        s_n = ConvLSTMState(c=state.c[n:n + 1], h=state.h[n:n + 1])
+        out_n = diverse_beam_search(
+            sp, cfg8, first[n:n + 1], s_n, T,
+            scene_mean=scene_mean[n:n + 1], compute_dtype=dt)
+        np.testing.assert_array_equal(
+            np.asarray(out8.ids[n]), np.asarray(out_n.ids[0]))
+        np.testing.assert_allclose(
+            np.asarray(out8.logprobs[n]), np.asarray(out_n.logprobs[0]),
+            rtol=1e-5, atol=1e-5)

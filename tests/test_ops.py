@@ -429,3 +429,68 @@ def test_pallas_decode_gathered_matches_gather_then_step(rng):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_decode_gathered_q8_tracks_f32(rng):
+    """int8-gate fused step (decode_step_pallas_gathered_q8) tracks the
+    composed f32 path within quantization tolerance in interpret mode.
+
+    The int8 path's static scales rely on the decode invariants: the
+    recurrent h is a ConvLSTM output (tanh·sigmoid, |h| < 1) so
+    |h + agg| < 2, and the embedding rows come from a precomputed table
+    quantized with per-channel maxima.  The test states respect the
+    h-bound the way every real decode does (encoder h seeds the beam)."""
+    import jax.numpy as jnp
+
+    from multiverse_tpu.geometry import one_hot_grid
+    from multiverse_tpu.ops import (
+        ConvLSTMState,
+        conv2d,
+        convlstm_step,
+        gnn_step,
+        gnn_neighbor_mask,
+    )
+    from multiverse_tpu.ops.pallas_decode import (
+        decode_step_pallas_gathered_q8,
+        quantize_decode_weights,
+    )
+
+    H, W, D, E, C, NK = 6, 8, 16, 8, 4, 6
+    HW = H * W
+    cell = {"kernel": jnp.asarray(
+        rng.randn(3, 3, E + D, 4 * D), jnp.float32) * 0.05,
+        "bias": jnp.asarray(rng.randn(4 * D), jnp.float32) * 0.1}
+    h2g = {"w": jnp.asarray(rng.randn(3, 3, D, 1), jnp.float32) * 0.1}
+    emb_p = {"w": jnp.asarray(rng.randn(3, 3, 1, E), jnp.float32) * 0.5,
+             "b": jnp.asarray(rng.randn(E), jnp.float32) * 0.1}
+    basis = one_hot_grid(jnp.arange(HW), H, W)
+    emb_table = conv2d(emb_p, basis, activation=jnp.tanh)
+    state = ConvLSTMState(
+        c=jnp.asarray(rng.randn(NK, H, W, D), jnp.float32),
+        h=jnp.asarray(np.tanh(rng.randn(NK, H, W, D)), jnp.float32))
+    scene = jnp.asarray(rng.randn(NK, H, W, C), jnp.float32) * 0.3
+    ids = jnp.asarray(rng.randint(0, HW, NK), jnp.int32)
+    parents = jnp.asarray(rng.permutation(NK), jnp.int32)
+
+    # composed f32 reference with explicit gathers
+    hg, cg = state.h[parents], state.c[parents]
+    mask = jnp.asarray(gnn_neighbor_mask(H, W))
+    hh = hg + gnn_step(hg, mask, scene)
+    out, ref_st = convlstm_step(
+        cell, emb_table[ids], ConvLSTMState(c=cg, h=hh))
+    ref_logits = conv2d(h2g, out)
+
+    quant = quantize_decode_weights(cell, emb_table)
+    assert quant[0].dtype == jnp.int8 and quant[1].dtype == jnp.int8
+    qh, qst, qlogits = decode_step_pallas_gathered_q8(
+        quant, cell["bias"], h2g, ids, parents,
+        state, scene, H, W, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(qh, np.float32), np.asarray(out, np.float32),
+        atol=0.08)
+    np.testing.assert_allclose(
+        np.asarray(qst.c, np.float32), np.asarray(ref_st.c, np.float32),
+        atol=0.08)
+    np.testing.assert_allclose(
+        np.asarray(qlogits), np.asarray(ref_logits), atol=0.08)
