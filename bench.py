@@ -128,14 +128,37 @@ def main():
         out = step(params, batch)
         sync(out)
     dt = time.perf_counter() - t0
-
     traj_per_sec = BATCH * ITERS / dt
-    print(json.dumps({
+
+    # opt-in int8 decode fast path (cfg.decode_quant="int8"): the gate
+    # matmul rides the MXU's int8 mode (2x bf16 peak).  Reported as an
+    # extra field, NOT the headline: on trained checkpoints its beam
+    # ids track f32 slightly less closely than the default bf16 path
+    # (measured ~89% vs ~95% id match on a synthetic-trained model), so
+    # the default path stays bf16.
+    int8_traj_per_sec = None
+    if dev.platform == "tpu":
+        cfg8 = cfg.replace(decode_quant="int8")
+        step8 = jax.jit(
+            lambda p, b: beam_forward(p, b, cfg8, T_pred=T_PRED))
+        sync(step8(params, batch))
+        sync(step8(params, batch))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            sync(step8(params, batch))
+        int8_traj_per_sec = BATCH * ITERS / (time.perf_counter() - t0)
+
+    record = {
         "metric": "beam20_decode_throughput",
         "value": round(traj_per_sec, 2),
         "unit": "traj/s",
         "vs_baseline": round(traj_per_sec / REFERENCE_TRAJ_PER_SEC, 2),
-    }))
+    }
+    if int8_traj_per_sec is not None:
+        record["int8_value"] = round(int8_traj_per_sec, 2)
+        record["int8_vs_baseline"] = round(
+            int8_traj_per_sec / REFERENCE_TRAJ_PER_SEC, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -86,6 +86,10 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--beam_size", type=int, default=5)
     parser.add_argument("--compute_dtype", default="float32",
                         help="float32|bfloat16 conv/matmul compute")
+    parser.add_argument("--decode_quant", default="none",
+                        help="none|int8|int8_dyn — int8 MXU mode for "
+                             "the fused beam-decode gate matmul "
+                             "(inference fast path on bfloat16)")
 
 
 def add_train_args(parser: argparse.ArgumentParser) -> None:
@@ -136,6 +140,7 @@ def config_from_args(args: argparse.Namespace) -> MultiverseConfig:
         fix_num_timestep=args.fix_num_timestep,
         beam_size=args.beam_size,
         compute_dtype=args.compute_dtype,
+        decode_quant=getattr(args, "decode_quant", "none"),
         **grid_kw,
     )
     for name in ("grid_loss_weight", "grid_reg_loss_weight", "wd",

@@ -1,0 +1,89 @@
+"""Online prediction server (mvt-serve).
+
+A serving layer the reference never had (its inference is the offline
+batch script, reference: code/multifuture_inference.py): loads a
+checkpoint, compiles ONE static-shape decode graph, and serves HTTP
+predictions through a dynamic batcher (see
+multiverse_tpu/serving/engine.py for the design).
+
+    mvt-serve outbasepath modelname --port 8500 --max_batch 16 \
+        --max_delay_ms 5 --beam_size 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+from multiverse_tpu.cli.common import add_model_args, config_from_args
+from multiverse_tpu.models import init_params
+from multiverse_tpu.serving.engine import ServingEngine
+from multiverse_tpu.serving.server import PredictionServer
+from multiverse_tpu.train.checkpoints import (
+    CheckpointManager,
+    process_out_dirs,
+    restore_params_from,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("outbasepath", type=str)
+    parser.add_argument("modelname", type=str)
+    parser.add_argument("--runId", type=int, default=0)
+    parser.add_argument("--load_best", action="store_true")
+    parser.add_argument("--load_from", type=str, default=None)
+    parser.add_argument("--random_init", action="store_true",
+                        help="serve untrained weights (smoke tests)")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8500)
+    parser.add_argument("--max_batch", type=int, default=16)
+    parser.add_argument("--max_delay_ms", type=float, default=5.0)
+    parser.add_argument("--T_pred", type=int, default=None)
+    parser.add_argument("--greedy", action="store_true",
+                        help="greedy single-future decode instead of "
+                             "diverse beam")
+    add_model_args(parser)
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args).replace(
+        use_beam_search=not args.greedy).validate()
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    if args.random_init:
+        pass
+    elif args.load_from is not None:
+        params = restore_params_from(args.load_from, params)
+    else:
+        outpath = process_out_dirs(
+            args.outbasepath, args.modelname, args.runId)
+        ckpt = CheckpointManager(outpath)
+        params = ckpt.restore_params(params, best=args.load_best)
+
+    engine = ServingEngine(
+        params, cfg, max_batch=args.max_batch,
+        max_delay_ms=args.max_delay_ms, T_pred=args.T_pred)
+    print(f"mvt-serve: compiling (batch={args.max_batch}, "
+          f"T={engine.T_pred}, beam={cfg.beam_size}, "
+          f"quant={cfg.decode_quant})...", file=sys.stderr)
+    dt = engine.warmup()
+    print(f"mvt-serve: warm in {dt:.1f}s", file=sys.stderr)
+
+    server = PredictionServer(engine, host=args.host, port=args.port)
+    print(f"mvt-serve: listening on http://{args.host}:{server.port}",
+          file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

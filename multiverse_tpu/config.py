@@ -92,9 +92,12 @@ class MultiverseConfig:
     # --- numerics
     compute_dtype: str = "float32"  # float32 | bfloat16 for conv compute
     # int8 MXU mode for the fused beam-decode gate matmul ("none" |
-    # "int8").  Inference-only fast path on top of bfloat16 compute;
-    # validated for beam-id fidelity against the f32 path on trained
-    # checkpoints before use (see ops/pallas_decode.py int8 section).
+    # "int8" | "int8_dyn").  Inference-only fast path on top of
+    # bfloat16 compute; "int8" folds static activation scales into the
+    # weights, "int8_dyn" splits the emb/recurrent matmuls and scales
+    # the recurrent rows dynamically.  Validated for beam-id fidelity
+    # against the f32 path on trained checkpoints before use (see
+    # ops/pallas_decode.py int8 section + STATUS.md).
     decode_quant: str = "none"
 
     # ------------------------------------------------------------------

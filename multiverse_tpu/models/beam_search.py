@@ -159,10 +159,19 @@ def diverse_beam_search(
              and pallas_decode.fused_decode_available()
              and use_gnn and not save_states)
     # opt-in int8 gate matmul (2x the bf16 MXU peak); quantized
-    # operands are precomputed ONCE here, outside the scan
-    quant8 = fused and cfg.decode_quant == "int8"
+    # operands are precomputed ONCE here, outside the scan.
+    # "int8" = single fused matmul with static scales;
+    # "int8_dyn" = split matmuls with per-row dynamic scales.
+    quant8 = fused and cfg.decode_quant in ("int8", "int8_dyn")
     if quant8:
-        quant = pallas_decode.quantize_decode_weights(cell_p, emb_table)
+        if cfg.decode_quant == "int8_dyn":
+            quant = pallas_decode.quantize_decode_weights_v2(
+                cell_p, emb_table)
+            q8_step = pallas_decode.decode_step_pallas_gathered_q8v2
+        else:
+            quant = pallas_decode.quantize_decode_weights(
+                cell_p, emb_table)
+            q8_step = pallas_decode.decode_step_pallas_gathered_q8
 
     def step(carry, t):
         state, prev_ids, prev_parents, logprob = carry
@@ -175,14 +184,13 @@ def diverse_beam_search(
                 jnp.arange(N, dtype=jnp.int32)[:, None] * K
                 + prev_parents).reshape(-1)
             if quant8:
-                out, new_state_f, logits_t = \
-                    pallas_decode.decode_step_pallas_gathered_q8(
-                        quant, cell_p["bias"], h2g_p,
-                        prev_ids.reshape(-1), flat_parents,
-                        ConvLSTMState(c=_fold(state.c),
-                                      h=_fold(state.h)),
-                        scene_nk, h, w,
-                        interpret=pallas_decode.fused_decode_interpret())
+                out, new_state_f, logits_t = q8_step(
+                    quant, cell_p["bias"], h2g_p,
+                    prev_ids.reshape(-1), flat_parents,
+                    ConvLSTMState(c=_fold(state.c),
+                                  h=_fold(state.h)),
+                    scene_nk, h, w,
+                    interpret=pallas_decode.fused_decode_interpret())
             else:
                 out, new_state_f, logits_t = \
                     pallas_decode.decode_step_pallas_gathered(

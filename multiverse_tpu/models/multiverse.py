@@ -234,19 +234,24 @@ def greedy_decode(
             h=init_state.h.astype(compute_dtype))
         scene_f = None if scene_mean is None else \
             scene_mean.astype(compute_dtype)
-        quant8 = cfg.decode_quant == "int8"
+        quant8 = cfg.decode_quant in ("int8", "int8_dyn")
         if quant8:
-            quant = pallas_decode.quantize_decode_weights(
-                cell_p, emb_table)
+            if cfg.decode_quant == "int8_dyn":
+                quant = pallas_decode.quantize_decode_weights_v2(
+                    cell_p, emb_table)
+                q8_step = pallas_decode.decode_step_pallas_gathered_q8v2
+            else:
+                quant = pallas_decode.quantize_decode_weights(
+                    cell_p, emb_table)
+                q8_step = pallas_decode.decode_step_pallas_gathered_q8
 
         def fused_step(carry, t):
             state, ids = carry
             if quant8:
-                out, new_state, logits = \
-                    pallas_decode.decode_step_pallas_gathered_q8(
-                        quant, cell_p["bias"], h2g_p, ids, identity,
-                        state, scene_f, H, W,
-                        interpret=pallas_decode.fused_decode_interpret())
+                out, new_state, logits = q8_step(
+                    quant, cell_p["bias"], h2g_p, ids, identity,
+                    state, scene_f, H, W,
+                    interpret=pallas_decode.fused_decode_interpret())
             else:
                 out, new_state, logits = \
                     pallas_decode.decode_step_pallas_gathered(

@@ -621,6 +621,226 @@ def quantize_decode_weights(cell_params: dict, emb_table: jnp.ndarray):
     return emb_q, w_q, t_c.reshape(1, D4)
 
 
+def quantize_decode_weights_v2(cell_params: dict,
+                               emb_table: jnp.ndarray):
+    """Split-matmul int8 operands with DYNAMIC activation scales.
+
+    Unlike :func:`quantize_decode_weights` (one fused matmul, static
+    |h+agg|<2 bound), the v2 scheme splits the gate conv into its
+    embedding and recurrent halves so the recurrent activations can be
+    quantized with per-grid-row dynamic scales inside the kernel (the
+    local 3x3 neighborhood max is usually far below the worst-case
+    bound, cutting quantization noise severalfold).
+
+    Returns (emb_q [HW, H, W, E] int8, w_eq [9E, 4D] int8,
+    t_e [1, 4D] f32, w_hq [9D, 4D] int8, u_c [1, 4D] f32).
+    """
+    E = emb_table.shape[-1]
+    kern = cell_params["kernel"].astype(jnp.float32)
+    Cin = kern.shape[2]
+    D = Cin - E
+    D4 = kern.shape[3]
+
+    s_emb = jnp.maximum(
+        jnp.max(jnp.abs(emb_table.astype(jnp.float32)), axis=(0, 1, 2)),
+        1e-6) / 127.0                                    # [E]
+    # shift-major rows: kern.reshape(9, Cin, D4)
+    k9 = kern.reshape(9, Cin, D4)
+    w_e = (k9[:, :E, :] * s_emb[None, :, None]).reshape(9 * E, D4)
+    t_e = jnp.maximum(jnp.max(jnp.abs(w_e), axis=0), 1e-12) / 127.0
+    w_eq = jnp.round(w_e / t_e[None, :]).astype(jnp.int8)
+
+    w_h = k9[:, E:, :].reshape(9 * D, D4)
+    u_c = jnp.maximum(jnp.max(jnp.abs(w_h), axis=0), 1e-12) / 127.0
+    w_hq = jnp.round(w_h / u_c[None, :]).astype(jnp.int8)
+
+    emb_q = jnp.clip(
+        jnp.round(emb_table.astype(jnp.float32)
+                  / s_emb[None, None, None, :]),
+        -127, 127).astype(jnp.int8)
+    return (emb_q, w_eq, t_e.reshape(1, D4),
+            w_hq, u_c.reshape(1, D4))
+
+
+def _decode_kernel_gathered_q8v2(ids_ref, par_ref,
+                                 h_ref, c_ref, emb_ref, scene_ref,
+                                 mask_ref, w_eq_ref, t_e_ref,
+                                 w_hq_ref, u_c_ref,
+                                 cell_b_ref, h2g_w_ref,
+                                 h_out_ref, c_out_ref, logits_ref,
+                                 *, forget_bias: float, H: int, W: int,
+                                 with_scene: bool):
+    """Per-row dynamic-scale int8 variant: the gate conv splits into an
+    embedding matmul (static table scales) and a recurrent matmul whose
+    im2col rows are quantized by their own 3x3-neighborhood maxima.
+    Both ride the MXU in int8; dequant is one rank-1 scale product."""
+    del ids_ref, par_ref
+    HW = H * W
+    D = h_ref.shape[-1]
+    E = emb_ref.shape[-1]
+
+    # ---- GNN (identical to _decode_kernel)
+    h = h_ref[:]
+    node = h
+    if with_scene:
+        node = jnp.concatenate([h, scene_ref[:]], axis=-1)
+    node_f = node.astype(jnp.float32)
+    sumsq = jnp.sum(node_f * node_f, axis=-1, keepdims=True)
+    node = (node_f * jax.lax.rsqrt(
+        jnp.maximum(sumsq, 1e-12))).astype(h.dtype)
+    edges = jnp.dot(node, node.T, preferred_element_type=jnp.float32)
+    edges = edges + mask_ref[:]
+    m = jnp.max(edges, axis=-1, keepdims=True)
+    e = jnp.exp(edges - m)
+    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(h.dtype)
+    agg = jnp.dot(attn, h, preferred_element_type=jnp.float32)
+    h2_f = h.astype(jnp.float32) + agg                   # f32 [HW, D]
+
+    # ---- embedding half: int8 patches from the pre-quantized row
+    emb_sp = jnp.pad(emb_ref[0].reshape(H, W, E),
+                     ((1, 1), (1, 1), (0, 0)))
+    patches_e = jnp.concatenate(
+        [emb_sp[dy:dy + H, dx:dx + W, :].reshape(HW, E)
+         for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=-1)
+    acc_e = jnp.dot(patches_e, w_eq_ref[:],
+                    preferred_element_type=jnp.int32)
+
+    # ---- recurrent half: f32 patches, per-row dynamic quantization
+    h2_sp = jnp.pad(h2_f.reshape(H, W, D), ((1, 1), (1, 1), (0, 0)))
+    patches_h = jnp.concatenate(
+        [h2_sp[dy:dy + H, dx:dx + W, :].reshape(HW, D)
+         for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=-1)
+    r_p = jnp.maximum(
+        jnp.max(jnp.abs(patches_h), axis=-1, keepdims=True), 1e-6)
+    ph_q = jnp.round(patches_h * (127.0 / r_p)).astype(jnp.int8)
+    acc_h = jnp.dot(ph_q, w_hq_ref[:],
+                    preferred_element_type=jnp.int32)
+
+    gates = (acc_e.astype(jnp.float32) * t_e_ref[:]
+             + acc_h.astype(jnp.float32)
+             * (u_c_ref[:] * (r_p / 127.0))
+             + cell_b_ref[:])
+    i = gates[:, :D]
+    g = gates[:, D:2 * D]
+    f = gates[:, 2 * D:3 * D]
+    o = gates[:, 3 * D:]
+    c_old = c_ref[:].astype(jnp.float32)
+    new_c = (jax.nn.sigmoid(f + forget_bias) * c_old
+             + jax.nn.sigmoid(i) * jnp.tanh(g))
+    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+
+    P = jnp.dot(new_h.astype(h.dtype), h2g_w_ref[:],
+                preferred_element_type=jnp.float32)
+    P_sp = jnp.pad(P.reshape(H, W, P.shape[-1]),
+                   ((1, 1), (1, 1), (0, 0)))
+    logits = sum(
+        P_sp[dy:dy + H, dx:dx + W, 3 * dy + dx]
+        for dy in (0, 1, 2) for dx in (0, 1, 2))
+    h_out_ref[:] = new_h.astype(h_out_ref.dtype)
+    c_out_ref[:] = new_c.astype(c_out_ref.dtype)
+    logits_ref[:] = logits.reshape(HW, 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "forget_bias", "interpret"))
+def decode_step_pallas_gathered_q8v2(
+    quant: Tuple[jnp.ndarray, ...],
+    cell_bias: jnp.ndarray,
+    h2g_params: dict,
+    prev_ids: jnp.ndarray,
+    parent_rows: jnp.ndarray,
+    state: ConvLSTMState,
+    scene_mean: Optional[jnp.ndarray],
+    H: int,
+    W: int,
+    forget_bias: float = 1.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, ConvLSTMState, jnp.ndarray]:
+    """Fused step with split int8 matmuls + per-row dynamic scales.
+
+    ``quant`` is the 5-tuple from :func:`quantize_decode_weights_v2`.
+    """
+    emb_q, w_eq, t_e, w_hq, u_c = quant
+    NK = prev_ids.shape[0]
+    D = state.h.shape[-1]
+    E = emb_q.shape[-1]
+    HW = H * W
+    dtype = jnp.bfloat16
+
+    h_rows = state.h.astype(dtype).reshape(NK * HW, D)
+    c_rows = state.c.astype(dtype).reshape(NK * HW, D)
+    emb_rows = emb_q.reshape(HW, HW, E)
+    with_scene = scene_mean is not None
+    if with_scene:
+        C = scene_mean.shape[-1]
+        scene_rows = scene_mean.astype(dtype).reshape(NK * HW, C)
+    else:
+        C = 1
+        scene_rows = jnp.zeros((NK * HW, 1), dtype)
+
+    mask = jnp.asarray(
+        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
+    cell_b = cell_bias.astype(jnp.float32).reshape(1, 4 * D)
+    h2g_w = h2g_params["w"].astype(dtype).reshape(9, D).T
+    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 128 - 9)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NK,),
+        in_specs=[
+            pl.BlockSpec((HW, D), lambda i, ids, par: (par[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, D), lambda i, ids, par: (par[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HW, E), lambda i, ids, par: (ids[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, C), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, HW), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * E, 4 * D), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * D), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * D, 4 * D), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * D), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * D), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 128), lambda i, ids, par: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((HW, D), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, D), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, 1), lambda i, ids, par: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    new_h, new_c, logits = pl.pallas_call(
+        functools.partial(
+            _decode_kernel_gathered_q8v2, forget_bias=forget_bias,
+            H=H, W=W, with_scene=with_scene),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((NK * HW, D), dtype),
+            jax.ShapeDtypeStruct((NK * HW, D), dtype),
+            jax.ShapeDtypeStruct((NK * HW, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(prev_ids.astype(jnp.int32), parent_rows.astype(jnp.int32),
+      h_rows, c_rows, emb_rows, scene_rows, mask,
+      w_eq, t_e, w_hq, u_c, cell_b, h2g_w)
+
+    return (new_h.reshape(NK, H, W, D),
+            ConvLSTMState(c=new_c.reshape(NK, H, W, D),
+                          h=new_h.reshape(NK, H, W, D)),
+            logits.reshape(NK, H, W, 1))
+
+
 def _decode_kernel_gathered_q8(ids_ref, par_ref,
                                h_ref, c_ref, emb_ref, scene_ref,
                                mask_ref, cell_wq_ref, tq_ref,

@@ -1,0 +1,354 @@
+"""TPU-native inference serving: dynamic batching over one compiled graph.
+
+The reference has no serving story at all — its inference driver is an
+offline batch script that runs one trajectory per `sess.run`
+(reference: code/multifuture_inference.py:460-472).  This engine is a
+new, TPU-first component built for online prediction:
+
+* **one static-shape compiled graph.**  XLA compiles once for a fixed
+  (max_batch, T_pred, F_scene) shape; every request batch is padded into
+  it (pad rows repeat the last real request, and the scene-feature table
+  pads with background rows).  No recompiles ever happen on the serving
+  path — tail latency is bounded by the step time, not the compiler;
+* **dynamic batching.**  Requests queue; a worker drains up to
+  `max_batch` of them, waiting at most `max_delay_ms` after the first —
+  the standard throughput/latency dial.  Beams already fold into the
+  batch axis inside the decode, so server occupancy directly becomes
+  MXU occupancy;
+* **device-resident parameters.**  Weights (and the optional int8
+  decode operands via ``cfg.decode_quant``) upload once at startup;
+  per-request host↔device traffic is a few KB of int32/float32.
+
+The HTTP front end lives in :mod:`multiverse_tpu.serving.server`; this
+module is framework-level and transport-free so it can sit behind any
+RPC layer.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from multiverse_tpu.config import MultiverseConfig
+from multiverse_tpu.geometry import grid_centers, rasterize_traj_np
+from multiverse_tpu.models import Batch
+
+
+@dataclass
+class PredictionResult:
+    """K predicted futures for one request.
+
+    trajs: [K, T, 2] absolute pixel coordinates (center + offset
+    reconstruction, reference: code/multifuture_inference.py:499-517).
+    logprobs: [K] total beam log-likelihoods (greedy: zeros).
+    """
+
+    trajs: np.ndarray
+    logprobs: np.ndarray
+    pred_len: int
+
+
+class _Pending:
+    __slots__ = ("obs_traj", "scene_onehot", "pred_len", "event",
+                 "result", "error", "t_submit")
+
+    def __init__(self, obs_traj, scene_onehot, pred_len):
+        self.obs_traj = obs_traj
+        self.scene_onehot = scene_onehot  # [T_obs, SH, SW, C] uint8
+        self.pred_len = pred_len
+        self.event = threading.Event()
+        self.result: Optional[PredictionResult] = None
+        self.error: Optional[Exception] = None
+        self.t_submit = time.perf_counter()
+
+
+@dataclass
+class EngineStats:
+    requests: int = 0
+    batches: int = 0
+    errors: int = 0
+    occupancy_sum: int = 0
+    latency_sum_s: float = 0.0
+    latency_max_s: float = 0.0
+    _lock: threading.Lock = field(default_factory=threading.Lock,
+                                  repr=False)
+
+    def record_batch(self, n_real: int, latencies: List[float]):
+        with self._lock:
+            self.batches += 1
+            self.requests += n_real
+            self.occupancy_sum += n_real
+            for v in latencies:
+                self.latency_sum_s += v
+                self.latency_max_s = max(self.latency_max_s, v)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            mean_lat = (self.latency_sum_s / self.requests
+                        if self.requests else 0.0)
+            occ = (self.occupancy_sum / self.batches
+                   if self.batches else 0.0)
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "errors": self.errors,
+                "mean_batch_occupancy": round(occ, 2),
+                "mean_latency_ms": round(mean_lat * 1e3, 2),
+                "max_latency_ms": round(self.latency_max_s * 1e3, 2),
+            }
+
+
+class ServingEngine:
+    """Dynamic-batching prediction engine over one jitted decode graph.
+
+    Args:
+        params: model parameter pytree (host or device).
+        cfg: model configuration; ``use_beam_search`` selects diverse
+            beam (K futures) vs greedy (1 future replicated K times,
+            matching the offline driver's contract).
+        max_batch: static compiled batch size (the throughput knob).
+        max_delay_ms: how long the batcher waits to fill a batch after
+            the first request arrives (the latency knob).
+        T_pred: static decode length; per-request ``pred_len`` ≤ T_pred
+            is sliced on the way out (finished samples freeze inside
+            the decode, same as the offline batch path).
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: MultiverseConfig,
+        max_batch: int = 16,
+        max_delay_ms: float = 5.0,
+        T_pred: Optional[int] = None,
+    ):
+        import jax
+
+        from multiverse_tpu.inference import beam_forward, greedy_forward
+
+        self.cfg = cfg.validate()
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self.T_pred = int(T_pred or cfg.pred_len)
+        self.greedy = not cfg.use_beam_search
+        i = cfg.active_scales[0]
+        self.grid_hw = cfg.scene_grids[i]
+        h, w = self.grid_hw
+        self._centers = grid_centers(
+            cfg.video_h, cfg.video_w, h, w).reshape(-1, 2)
+        # static scene-table height: every obs frame of every slot
+        # distinct is the worst case
+        self.F_scene = self.max_batch * cfg.obs_len
+
+        self._params = jax.device_put(params)
+        if self.greedy:
+            self._step = jax.jit(
+                lambda p, b: greedy_forward(
+                    p, b, self.cfg, T_pred=self.T_pred))
+        else:
+            self._step = jax.jit(
+                lambda p, b: beam_forward(
+                    p, b, self.cfg, T_pred=self.T_pred))
+
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = EngineStats()
+        self._worker = threading.Thread(
+            target=self._worker_loop, name="mvt-serving-worker",
+            daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------ API
+
+    def warmup(self) -> float:
+        """Compile + run the graph once; returns seconds spent.
+
+        Call before accepting traffic — the first compile on a cold
+        cache takes tens of seconds and would otherwise land on the
+        first unlucky request."""
+        t0 = time.perf_counter()
+        obs = np.tile(
+            np.asarray([[self.cfg.video_w / 2.0,
+                         self.cfg.video_h / 2.0]], np.float32),
+            (self.cfg.obs_len, 1))
+        self.predict(obs, timeout=None)
+        return time.perf_counter() - t0
+
+    def submit(
+        self,
+        obs_traj: np.ndarray,
+        scene_class_map: Optional[np.ndarray] = None,
+        pred_len: Optional[int] = None,
+    ) -> _Pending:
+        """Enqueue one request; returns a waitable handle.
+
+        Args:
+            obs_traj: [obs_len, 2] pixel trajectory.
+            scene_class_map: optional [SH, SW] or [T_obs, SH, SW]
+                semantic class-id map (already in the model's class
+                space); None = all background.
+            pred_len: decode steps to return (≤ engine T_pred).
+        """
+        cfg = self.cfg
+        obs = np.asarray(obs_traj, np.float32)
+        if obs.shape != (cfg.obs_len, 2):
+            raise ValueError(
+                f"obs_traj must be [{cfg.obs_len}, 2], got {obs.shape}")
+        pl = int(pred_len or self.T_pred)
+        if not 1 <= pl <= self.T_pred:
+            raise ValueError(
+                f"pred_len {pl} outside [1, {self.T_pred}]")
+        onehot = self._scene_onehot(scene_class_map)
+        pending = _Pending(obs, onehot, pl)
+        self._queue.put(pending)
+        return pending
+
+    def predict(
+        self,
+        obs_traj: np.ndarray,
+        scene_class_map: Optional[np.ndarray] = None,
+        pred_len: Optional[int] = None,
+        timeout: Optional[float] = 30.0,
+    ) -> PredictionResult:
+        """Blocking submit + wait."""
+        pending = self.submit(obs_traj, scene_class_map, pred_len)
+        if not pending.event.wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if pending.error is not None:
+            raise pending.error
+        return pending.result
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5.0)
+
+    # ------------------------------------------------------- internals
+
+    def _scene_onehot(self, class_map) -> np.ndarray:
+        cfg = self.cfg
+        C = cfg.scene_class
+        shape = (cfg.obs_len, cfg.scene_h, cfg.scene_w, C)
+        if class_map is None:
+            onehot = np.zeros(shape, np.uint8)
+            onehot[..., 0] = 1
+            return onehot
+        cm = np.asarray(class_map)
+        if cm.ndim == 2:
+            cm = np.broadcast_to(
+                cm, (cfg.obs_len,) + cm.shape)
+        if cm.shape != (cfg.obs_len, cfg.scene_h, cfg.scene_w):
+            raise ValueError(
+                f"scene_class_map must be [{cfg.scene_h}, "
+                f"{cfg.scene_w}] or [{cfg.obs_len}, {cfg.scene_h}, "
+                f"{cfg.scene_w}], got {np.asarray(class_map).shape}")
+        ids = np.clip(cm.astype(np.int64), 0, C - 1)
+        return (ids[..., None]
+                == np.arange(C, dtype=np.int64)).astype(np.uint8)
+
+    def _drain(self) -> List[_Pending]:
+        """Block for the first request, then fill up to max_batch until
+        the delay budget runs out."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_delay_s
+        while len(batch) < self.max_batch:
+            left = deadline - time.perf_counter()
+            if left <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=left))
+            except queue.Empty:
+                break
+        return batch
+
+    def _build_batch(self, reqs: List[_Pending]) -> Batch:
+        cfg = self.cfg
+        B, T_obs = self.max_batch, cfg.obs_len
+        i = cfg.active_scales[0]
+        padded = reqs + [reqs[-1]] * (B - len(reqs))
+
+        cls = np.zeros((B, cfg.num_scales, T_obs), np.int32)
+        tgt0 = None
+        scene_rows = np.zeros(
+            (self.F_scene, cfg.scene_h, cfg.scene_w, cfg.scene_class),
+            np.uint8)
+        scene_rows[..., 0] = 1
+        obs_scene = np.zeros((B, T_obs), np.int32)
+        pred_lens = np.zeros((B,), np.int32)
+        for a, r in enumerate(padded):
+            c, t = rasterize_traj_np(
+                r.obs_traj, cfg.video_h, cfg.video_w, cfg.scene_grids)
+            cls[a] = c
+            if tgt0 is None:
+                tgt0 = np.zeros((B,) + t[i].shape, np.float32)
+            tgt0[a] = t[i]
+            rows = np.arange(a * T_obs, (a + 1) * T_obs)
+            scene_rows[rows] = r.scene_onehot
+            obs_scene[a] = rows
+            pred_lens[a] = r.pred_len
+        return Batch(
+            obs_grid_class=cls,
+            obs_grid_target_all=(tgt0,),
+            obs_scene=obs_scene,
+            scene_feat=scene_rows,
+            pred_length=pred_lens,
+        )
+
+    def _worker_loop(self):
+        import jax
+
+        h, w = self.grid_hw
+        HW = h * w
+        K = self.cfg.beam_size
+        while not self._stop.is_set():
+            reqs = self._drain()
+            if not reqs:
+                continue
+            try:
+                batch = self._build_batch(reqs)
+                if self.greedy:
+                    class_logits, reg_out = jax.device_get(
+                        self._step(self._params, batch))
+                    beam = None
+                else:
+                    beam, reg_out = jax.device_get(
+                        self._step(self._params, batch))
+                reg_out = np.asarray(reg_out)
+                now = time.perf_counter()
+                lats = []
+                for a, r in enumerate(reqs):
+                    pl = r.pred_len
+                    reg = reg_out[a, :pl].reshape(pl, HW, 2)
+                    if self.greedy:
+                        sel = np.asarray(class_logits)[a, :pl].reshape(
+                            pl, HW).argmax(axis=1)
+                        pts = (self._centers[sel]
+                               + reg[np.arange(pl), sel])
+                        trajs = np.tile(pts[None], (K, 1, 1))
+                        logprobs = np.zeros((K,), np.float32)
+                    else:
+                        ids = np.asarray(beam.ids)[a, :, :pl]  # [K, pl]
+                        pts = self._centers[ids]
+                        pts = pts + reg[np.arange(pl)[None, :], ids]
+                        trajs = pts
+                        logprobs = np.asarray(beam.logprobs)[a]
+                    r.result = PredictionResult(
+                        trajs=trajs.astype(np.float32),
+                        logprobs=logprobs, pred_len=pl)
+                    lats.append(now - r.t_submit)
+                    r.event.set()
+                self.stats.record_batch(len(reqs), lats)
+            except Exception as exc:  # resolve waiters, keep serving
+                with self.stats._lock:
+                    self.stats.errors += 1
+                for r in reqs:
+                    r.error = exc
+                    r.event.set()

@@ -1,0 +1,104 @@
+"""HTTP front end for the serving engine (stdlib-only).
+
+Endpoints:
+    POST /v1/predict   {"obs_traj": [[x, y] * obs_len],
+                        "scene_class_map": optional [SH][SW] or
+                                           [T_obs][SH][SW] class ids,
+                        "pred_len": optional int}
+                    -> {"trajs": [K][T][2], "logprobs": [K],
+                        "pred_len": T}
+    GET  /healthz      -> {"ok": true}
+    GET  /stats        -> engine counters (occupancy, latency, errors)
+
+The handler threads only do JSON I/O; all device work funnels through
+the engine's single batcher, so concurrent HTTP requests become one
+padded TPU batch (see :mod:`multiverse_tpu.serving.engine`).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from multiverse_tpu.serving.engine import ServingEngine
+
+
+def _make_handler(engine: ServingEngine):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet the default per-request stderr logging
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send(200, engine.stats.snapshot())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/predict":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                obs = np.asarray(req["obs_traj"], np.float32)
+                scene = req.get("scene_class_map")
+                if scene is not None:
+                    scene = np.asarray(scene)
+                result = engine.predict(
+                    obs, scene_class_map=scene,
+                    pred_len=req.get("pred_len"))
+                self._send(200, {
+                    "trajs": result.trajs.tolist(),
+                    "logprobs": result.logprobs.tolist(),
+                    "pred_len": result.pred_len,
+                })
+            except (KeyError, ValueError, TypeError) as exc:
+                self._send(400, {"error": str(exc)})
+            except Exception as exc:  # engine/device failure
+                self._send(500, {"error": str(exc)})
+
+    return Handler
+
+
+class PredictionServer:
+    """ThreadingHTTPServer wrapper owning a ServingEngine."""
+
+    def __init__(self, engine: ServingEngine, host: str = "127.0.0.1",
+                 port: int = 8500):
+        self.engine = engine
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(engine))
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start_background(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, name="mvt-serving-http",
+            daemon=True)
+        self._thread.start()
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self.engine.close()

@@ -452,7 +452,9 @@ def test_pallas_decode_gathered_q8_tracks_f32(rng):
     )
     from multiverse_tpu.ops.pallas_decode import (
         decode_step_pallas_gathered_q8,
+        decode_step_pallas_gathered_q8v2,
         quantize_decode_weights,
+        quantize_decode_weights_v2,
     )
 
     H, W, D, E, C, NK = 6, 8, 16, 8, 4, 6
@@ -494,3 +496,16 @@ def test_pallas_decode_gathered_q8_tracks_f32(rng):
         atol=0.08)
     np.testing.assert_allclose(
         np.asarray(qlogits), np.asarray(ref_logits), atol=0.08)
+
+    # v2: split emb/recurrent matmuls + per-row dynamic scales
+    quant2 = quantize_decode_weights_v2(cell, emb_table)
+    assert quant2[0].dtype == jnp.int8
+    assert quant2[1].dtype == jnp.int8 and quant2[3].dtype == jnp.int8
+    q2h, q2st, q2logits = decode_step_pallas_gathered_q8v2(
+        quant2, cell["bias"], h2g, ids, parents,
+        state, scene, H, W, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(q2h, np.float32), np.asarray(out, np.float32),
+        atol=0.08)
+    np.testing.assert_allclose(
+        np.asarray(q2logits), np.asarray(ref_logits), atol=0.08)
