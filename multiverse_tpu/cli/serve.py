@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--port", type=int, default=8500)
     parser.add_argument("--max_batch", type=int, default=16)
     parser.add_argument("--max_delay_ms", type=float, default=5.0)
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="chips to serve across (data-parallel "
+                             "batch sharding); 0 = all visible")
     parser.add_argument("--T_pred", type=int, default=None)
     parser.add_argument("--greedy", action="store_true",
                         help="greedy single-future decode instead of "
@@ -65,9 +68,15 @@ def main(argv=None) -> None:
         ckpt = CheckpointManager(outpath)
         params = ckpt.restore_params(params, best=args.load_best)
 
+    mesh = None
+    if args.num_devices != 1:
+        from multiverse_tpu.parallel import make_mesh
+
+        mesh = make_mesh(
+            n_devices=args.num_devices if args.num_devices else None)
     engine = ServingEngine(
         params, cfg, max_batch=args.max_batch,
-        max_delay_ms=args.max_delay_ms, T_pred=args.T_pred)
+        max_delay_ms=args.max_delay_ms, T_pred=args.T_pred, mesh=mesh)
     print(f"mvt-serve: compiling (batch={args.max_batch}, "
           f"T={engine.T_pred}, beam={cfg.beam_size}, "
           f"quant={cfg.decode_quant})...", file=sys.stderr)

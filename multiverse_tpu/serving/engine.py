@@ -87,6 +87,12 @@ class EngineStats:
                 self.latency_sum_s += v
                 self.latency_max_s = max(self.latency_max_s, v)
 
+    def reset(self):
+        with self._lock:
+            self.requests = self.batches = self.errors = 0
+            self.occupancy_sum = 0
+            self.latency_sum_s = self.latency_max_s = 0.0
+
     def snapshot(self) -> dict:
         with self._lock:
             mean_lat = (self.latency_sum_s / self.requests
@@ -117,6 +123,10 @@ class ServingEngine:
         T_pred: static decode length; per-request ``pred_len`` ≤ T_pred
             is sliced on the way out (finished samples freeze inside
             the decode, same as the offline batch path).
+        mesh: optional ``jax.sharding.Mesh`` — the batch then shards
+            over its "data" axis (params replicate), so one server
+            front end drives every chip of a slice; ``max_batch`` must
+            be divisible by the data-axis size.
     """
 
     def __init__(
@@ -126,6 +136,7 @@ class ServingEngine:
         max_batch: int = 16,
         max_delay_ms: float = 5.0,
         T_pred: Optional[int] = None,
+        mesh=None,
     ):
         import jax
 
@@ -145,15 +156,57 @@ class ServingEngine:
         # distinct is the worst case
         self.F_scene = self.max_batch * cfg.obs_len
 
-        self._params = jax.device_put(params)
-        if self.greedy:
-            self._step = jax.jit(
-                lambda p, b: greedy_forward(
-                    p, b, self.cfg, T_pred=self.T_pred))
+        self._mesh = mesh
+        if mesh is not None:
+            from multiverse_tpu.parallel import replicate
+
+            dp = mesh.shape["data"]
+            if self.max_batch % dp != 0:
+                raise ValueError(
+                    f"max_batch {self.max_batch} not divisible by the "
+                    f"mesh data axis ({dp})")
+            self._params = replicate(mesh, params)
         else:
-            self._step = jax.jit(
-                lambda p, b: beam_forward(
-                    p, b, self.cfg, T_pred=self.T_pred))
+            self._params = jax.device_put(params)
+
+        # The serving step reconstructs trajectories ON DEVICE and
+        # returns only [B, K, T, 2] points + [B, K] logprobs (~300 KB
+        # at full size).  Fetching the raw beam outputs instead would
+        # move the [B, K, T, HW] logits tensor (~73 MB at full size)
+        # to the host on every batch — measured to dominate serving
+        # latency by an order of magnitude.
+        import jax.numpy as jnp
+
+        centers_j = jnp.asarray(self._centers)
+
+        def beam_step(p, b):
+            beam, reg_out = beam_forward(p, b, self.cfg,
+                                         T_pred=self.T_pred)
+            B = beam.ids.shape[0]
+            T = self.T_pred
+            HW = h * w
+            reg = reg_out.reshape(B, T, HW, 2)
+            idx = jnp.moveaxis(beam.ids, 1, 2)          # [B, T, K]
+            off = jnp.take_along_axis(
+                reg, idx[..., None], axis=2)            # [B, T, K, 2]
+            trajs = (centers_j[beam.ids]
+                     + jnp.moveaxis(off, 1, 2))         # [B, K, T, 2]
+            return trajs.astype(jnp.float32), beam.logprobs
+
+        def greedy_step(p, b):
+            logits, reg_out = greedy_forward(
+                p, b, self.cfg, T_pred=self.T_pred)
+            B = logits.shape[0]
+            T = self.T_pred
+            HW = h * w
+            sel = jnp.argmax(logits.reshape(B, T, HW), axis=-1)
+            reg = reg_out.reshape(B, T, HW, 2)
+            off = jnp.take_along_axis(
+                reg, sel[..., None, None], axis=2)[:, :, 0]
+            trajs = centers_j[sel] + off                # [B, T, 2]
+            return trajs.astype(jnp.float32)
+
+        self._step = jax.jit(greedy_step if self.greedy else beam_step)
 
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
@@ -177,6 +230,7 @@ class ServingEngine:
                          self.cfg.video_h / 2.0]], np.float32),
             (self.cfg.obs_len, 1))
         self.predict(obs, timeout=None)
+        self.stats.reset()   # compile time is not traffic latency
         return time.perf_counter() - t0
 
     def submit(
@@ -305,8 +359,6 @@ class ServingEngine:
     def _worker_loop(self):
         import jax
 
-        h, w = self.grid_hw
-        HW = h * w
         K = self.cfg.beam_size
         while not self._stop.is_set():
             reqs = self._drain()
@@ -314,34 +366,32 @@ class ServingEngine:
                 continue
             try:
                 batch = self._build_batch(reqs)
+                if self._mesh is not None:
+                    from multiverse_tpu.parallel import shard_batch
+
+                    batch = shard_batch(self._mesh, batch)
                 if self.greedy:
-                    class_logits, reg_out = jax.device_get(
-                        self._step(self._params, batch))
-                    beam = None
+                    trajs_all = np.asarray(jax.device_get(
+                        self._step(self._params, batch)))  # [B, T, 2]
+                    logprobs_all = None
                 else:
-                    beam, reg_out = jax.device_get(
+                    trajs_all, logprobs_all = jax.device_get(
                         self._step(self._params, batch))
-                reg_out = np.asarray(reg_out)
+                    trajs_all = np.asarray(trajs_all)      # [B, K, T, 2]
+                    logprobs_all = np.asarray(logprobs_all)
                 now = time.perf_counter()
                 lats = []
                 for a, r in enumerate(reqs):
                     pl = r.pred_len
-                    reg = reg_out[a, :pl].reshape(pl, HW, 2)
                     if self.greedy:
-                        sel = np.asarray(class_logits)[a, :pl].reshape(
-                            pl, HW).argmax(axis=1)
-                        pts = (self._centers[sel]
-                               + reg[np.arange(pl), sel])
-                        trajs = np.tile(pts[None], (K, 1, 1))
+                        trajs = np.tile(
+                            trajs_all[a, :pl][None], (K, 1, 1))
                         logprobs = np.zeros((K,), np.float32)
                     else:
-                        ids = np.asarray(beam.ids)[a, :, :pl]  # [K, pl]
-                        pts = self._centers[ids]
-                        pts = pts + reg[np.arange(pl)[None, :], ids]
-                        trajs = pts
-                        logprobs = np.asarray(beam.logprobs)[a]
+                        trajs = trajs_all[a, :, :pl]
+                        logprobs = logprobs_all[a]
                     r.result = PredictionResult(
-                        trajs=trajs.astype(np.float32),
+                        trajs=np.ascontiguousarray(trajs, np.float32),
                         logprobs=logprobs, pred_len=pl)
                     lats.append(now - r.t_submit)
                     r.event.set()

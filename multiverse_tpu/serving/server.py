@@ -76,13 +76,21 @@ def _make_handler(engine: ServingEngine):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # the stdlib default listen backlog of 5 refuses connections the
+    # moment clients arrive in bursts — exactly the load a dynamic
+    # batcher exists to absorb
+    request_queue_size = 1024
+    daemon_threads = True
+
+
 class PredictionServer:
     """ThreadingHTTPServer wrapper owning a ServingEngine."""
 
     def __init__(self, engine: ServingEngine, host: str = "127.0.0.1",
                  port: int = 8500):
         self.engine = engine
-        self.httpd = ThreadingHTTPServer(
+        self.httpd = _Server(
             (host, port), _make_handler(engine))
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None

@@ -149,6 +149,32 @@ def test_greedy_engine(rng):
         eng.close()
 
 
+def test_mesh_sharded_engine_matches_single_device(rng, beam_setup):
+    """DP-sharded serving (mesh over the 8-virtual-CPU test devices)
+    must produce the same predictions as the single-device engine."""
+    from multiverse_tpu.parallel import make_mesh
+    from multiverse_tpu.serving.engine import ServingEngine
+
+    cfg, params, eng = beam_setup
+    mesh = make_mesh(n_devices=4)
+    eng_m = ServingEngine(params, cfg, max_batch=4, max_delay_ms=1.0,
+                          T_pred=5, mesh=mesh)
+    try:
+        eng_m.warmup()
+        obs = _random_obs(rng, cfg, 1)[0]
+        single = eng.predict(obs, pred_len=4)
+        sharded = eng_m.predict(obs, pred_len=4)
+        np.testing.assert_allclose(
+            sharded.trajs, single.trajs, atol=1e-4)
+        np.testing.assert_allclose(
+            sharded.logprobs, single.logprobs, atol=1e-5)
+    finally:
+        eng_m.close()
+
+    with pytest.raises(ValueError):
+        ServingEngine(params, cfg, max_batch=3, mesh=mesh)
+
+
 def test_http_server_roundtrip(rng, beam_setup):
     cfg, _, eng = beam_setup
     from multiverse_tpu.serving.client import PredictionClient
