@@ -130,6 +130,15 @@ class MultiverseConfig:
         if self.enc_hidden_size != self.dec_hidden_size:
             # encoder last state seeds the decoder state directly
             raise ValueError("enc_hidden_size must equal dec_hidden_size")
+        if self.decode_quant not in ("none", "int8", "int8_dyn"):
+            raise ValueError(
+                f"decode_quant must be none|int8|int8_dyn, got "
+                f"{self.decode_quant!r}")
+        if self.decode_quant != "none" and self.compute_dtype != "bfloat16":
+            # the int8 kernels ride the fused bf16 decode path; with
+            # f32 compute they would silently never engage
+            raise ValueError(
+                "decode_quant requires compute_dtype=bfloat16")
         return self
 
     # ------------------------------------------------------------------

@@ -49,18 +49,10 @@ def fused_decode_interpret() -> bool:
     return _jax.default_backend() != "tpu"
 
 
-def _decode_kernel(h_ref, c_ref, emb_ref, scene_ref, mask_ref,
-                   cell_w_ref, cell_b_ref, h2g_w_ref,
-                   h_out_ref, c_out_ref, logits_ref,
-                   *, forget_bias: float, H: int, W: int,
-                   with_scene: bool):
-    HW = H * W
-    D = h_ref.shape[-1]
-    E = emb_ref.shape[-1]
-    Cin = E + D
-
-    # ---- GNN: dense masked attention over grid cells (MXU)
-    h = h_ref[:]                                       # [HW, D] bf16
+def _gnn_attention(h, scene_ref, mask_ref, with_scene):
+    """Dense masked attention + residual, shared by every decode
+    kernel.  h: [HW, D] compute dtype.  Returns h + agg in f32
+    (callers cast down as needed)."""
     node = h
     if with_scene:
         node = jnp.concatenate([h, scene_ref[:]], axis=-1)
@@ -75,21 +67,23 @@ def _decode_kernel(h_ref, c_ref, emb_ref, scene_ref, mask_ref,
     e = jnp.exp(edges - m)
     attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(h.dtype)
     agg = jnp.dot(attn, h, preferred_element_type=jnp.float32)
-    h2 = (h.astype(jnp.float32) + agg).astype(h.dtype)  # residual
+    return h.astype(jnp.float32) + agg
 
-    # ---- ConvLSTM cell: 3x3 conv as ONE im2col MXU matmul (the
-    # concatenated [HW, 9·Cin] patch matrix lives in VMEM; K=9·Cin
-    # beats nine K=Cin matmuls on the MXU)
-    xin = jnp.concatenate([emb_ref[:], h2], axis=-1)    # [HW, Cin]
-    xin_sp = jnp.pad(xin.reshape(H, W, Cin),
-                     ((1, 1), (1, 1), (0, 0)))
-    patches = jnp.concatenate(
-        [xin_sp[dy:dy + H, dx:dx + W, :].reshape(HW, Cin)
-         for dy in (0, 1, 2) for dx in (0, 1, 2)],
-        axis=-1)                                         # [HW, 9·Cin]
-    gates = jnp.dot(patches, cell_w_ref[:],
-                    preferred_element_type=jnp.float32)
-    gates = gates + cell_b_ref[:]
+
+def _im2col9(x, H, W):
+    """[HW, C] -> [HW, 9C] zero-padded 3x3 patch matrix, shift-major
+    (matches kernel.reshape(9*C, ...) row order)."""
+    HW, C = x.shape
+    x_sp = jnp.pad(x.reshape(H, W, C), ((1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [x_sp[dy:dy + H, dx:dx + W, :].reshape(HW, C)
+         for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=-1)
+
+
+def _cell_update(gates, c_ref, forget_bias):
+    """LSTM nonlinearity on f32 gates [HW, 4D]; returns (new_c, new_h)
+    in f32."""
+    D = gates.shape[-1] // 4
     i = gates[:, :D]
     g = gates[:, D:2 * D]
     f = gates[:, 2 * D:3 * D]
@@ -98,24 +92,49 @@ def _decode_kernel(h_ref, c_ref, emb_ref, scene_ref, mask_ref,
     new_c = (jax.nn.sigmoid(f + forget_bias) * c_old
              + jax.nn.sigmoid(i) * jnp.tanh(g))
     new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+    return new_c, new_h
 
-    # ---- class readout: 3x3 conv to ONE channel.  The im2col form
-    # ([HW, 9D] @ [9D, 1→128 lanes]) wastes 127/128 of its MXU FLOPs
-    # on lane padding; instead contract the channel dim first —
-    # P[p, s] = Σ_d new_h[p, d]·K[s, d]  (one [HW, D]×[D, 9] matmul)
-    # — then the conv is nine single-lane spatial shifts of P summed:
-    # logits[y, x] = Σ_s Ppad[y+dy_s, x+dx_s, s].
-    P = jnp.dot(new_h.astype(h.dtype), h2g_w_ref[:],
+
+def _class_readout(new_h, h2g_w_ref, dtype, H, W):
+    """3x3 single-channel conv, channel-first: the im2col form
+    ([HW, 9D] @ [9D, 1->128 lanes]) wastes 127/128 of its MXU FLOPs on
+    lane padding; instead contract the channel dim first —
+    P[p, s] = sum_d new_h[p, d]*K[s, d] (one [HW, D]x[D, 9] matmul) —
+    then the conv is nine single-lane spatial shifts of P summed:
+    logits[y, x] = sum_s Ppad[y+dy_s, x+dx_s, s].  Returns [HW, 1]."""
+    HW = H * W
+    P = jnp.dot(new_h.astype(dtype), h2g_w_ref[:],
                 preferred_element_type=jnp.float32)       # [HW, 9(pad)]
     P_sp = jnp.pad(P.reshape(H, W, P.shape[-1]),
                    ((1, 1), (1, 1), (0, 0)))
     logits = sum(
         P_sp[dy:dy + H, dx:dx + W, 3 * dy + dx]
         for dy in (0, 1, 2) for dx in (0, 1, 2))          # [H, W]
+    return logits.reshape(HW, 1)
+
+
+def _decode_kernel(h_ref, c_ref, emb_ref, scene_ref, mask_ref,
+                   cell_w_ref, cell_b_ref, h2g_w_ref,
+                   h_out_ref, c_out_ref, logits_ref,
+                   *, forget_bias: float, H: int, W: int,
+                   with_scene: bool):
+    h = h_ref[:]                                       # [HW, D] bf16
+    h2 = _gnn_attention(h, scene_ref, mask_ref, with_scene).astype(
+        h.dtype)
+
+    # ---- ConvLSTM cell: 3x3 conv as ONE im2col MXU matmul (the
+    # concatenated [HW, 9·Cin] patch matrix lives in VMEM; K=9·Cin
+    # beats nine K=Cin matmuls on the MXU)
+    xin = jnp.concatenate([emb_ref[:], h2], axis=-1)    # [HW, Cin]
+    patches = _im2col9(xin, H, W)                       # [HW, 9·Cin]
+    gates = jnp.dot(patches, cell_w_ref[:],
+                    preferred_element_type=jnp.float32)
+    gates = gates + cell_b_ref[:]
+    new_c, new_h = _cell_update(gates, c_ref, forget_bias)
 
     h_out_ref[:] = new_h.astype(h_out_ref.dtype)
     c_out_ref[:] = new_c.astype(c_out_ref.dtype)
-    logits_ref[:] = logits.reshape(HW, 1)
+    logits_ref[:] = _class_readout(new_h, h2g_w_ref, h.dtype, H, W)
 
 
 def _decode_kernel_v2(ids_ref, h_ref, c_ref, scene_ref, mask_ref,
@@ -142,26 +161,10 @@ def _decode_kernel_v2(ids_ref, h_ref, c_ref, scene_ref, mask_ref,
     D4 = cell_wh_ref.shape[-1]
 
     h = h_ref[:]
-    node = h
-    if with_scene:
-        node = jnp.concatenate([h, scene_ref[:]], axis=-1)
-    node_f = node.astype(jnp.float32)
-    sumsq = jnp.sum(node_f * node_f, axis=-1, keepdims=True)
-    node = (node_f * jax.lax.rsqrt(
-        jnp.maximum(sumsq, 1e-12))).astype(h.dtype)
-    edges = jnp.dot(node, node.T, preferred_element_type=jnp.float32)
-    edges = edges + mask_ref[:]
-    m = jnp.max(edges, axis=-1, keepdims=True)
-    e = jnp.exp(edges - m)
-    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(h.dtype)
-    agg = jnp.dot(attn, h, preferred_element_type=jnp.float32)
-    h2 = (h.astype(jnp.float32) + agg).astype(h.dtype)
+    h2 = _gnn_attention(h, scene_ref, mask_ref, with_scene).astype(
+        h.dtype)
 
-    h2_sp = jnp.pad(h2.reshape(H, W, D), ((1, 1), (1, 1), (0, 0)))
-    patches = jnp.concatenate(
-        [h2_sp[dy:dy + H, dx:dx + W, :].reshape(HW, D)
-         for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=-1)
-    gates_h = jnp.dot(patches, cell_wh_ref[:],
+    gates_h = jnp.dot(_im2col9(h2, H, W), cell_wh_ref[:],
                       preferred_element_type=jnp.float32)
 
     # place the id's 5x5 deviation: corner-seed then dynamic rotate
@@ -205,6 +208,36 @@ def _decode_kernel_v2(ids_ref, h_ref, c_ref, scene_ref, mask_ref,
     h_out_ref[:] = new_h.astype(h_out_ref.dtype)
     c_out_ref[:] = new_c.astype(c_out_ref.dtype)
     logits_ref[:] = logits
+
+
+def _prep_state_rows(state: ConvLSTMState, scene_mean, N: int,
+                     HW: int, dtype):
+    """Host-side operand prep shared by the fused-step wrappers:
+    bf16 row-major state + scene (or a 1-wide dummy) and the additive
+    neighborhood mask."""
+    D = state.h.shape[-1]
+    h_rows = state.h.astype(dtype).reshape(N * HW, D)
+    c_rows = state.c.astype(dtype).reshape(N * HW, D)
+    if scene_mean is not None:
+        C = scene_mean.shape[-1]
+        scene_rows = scene_mean.astype(dtype).reshape(N * HW, C)
+    else:
+        C = 1
+        scene_rows = jnp.zeros((N * HW, 1), dtype)
+    return h_rows, c_rows, scene_rows, C
+
+
+def _h2g_channel_first(h2g_params: dict, D: int, dtype):
+    """[3, 3, D, 1] -> [D, 9] (w9[d, 3dy+dx] = K[dy, dx, d]),
+    lane-padded to 128; the kernels contract channels first then sum
+    nine single-lane spatial shifts (see _class_readout)."""
+    h2g_w = h2g_params["w"].astype(dtype).reshape(9, D).T
+    return jnp.pad(h2g_w, ((0, 0), (0, 128 - 9)))
+
+
+def _neighbor_bias(H: int, W: int):
+    return jnp.asarray(
+        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
 
 
 def build_emb_gates_tables(emb_params: dict, cell_params: dict,
@@ -275,18 +308,10 @@ def decode_step_pallas_v2(
     HW = H * W
     dtype = jnp.bfloat16
 
-    h_rows = state.h.astype(dtype).reshape(N * HW, D)
-    c_rows = state.c.astype(dtype).reshape(N * HW, D)
     with_scene = scene_mean is not None
-    if with_scene:
-        C = scene_mean.shape[-1]
-        scene_rows = scene_mean.astype(dtype).reshape(N * HW, C)
-    else:
-        C = 1
-        scene_rows = jnp.zeros((N * HW, 1), dtype)
-
-    mask = jnp.asarray(
-        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
+    h_rows, c_rows, scene_rows, C = _prep_state_rows(
+        state, scene_mean, N, HW, dtype)
+    mask = _neighbor_bias(H, W)
     # h-part rows of the fused kernel, shift-major
     kern = cell_params["kernel"].astype(dtype)           # [3,3,E+D,4D]
     cell_wh = kern[:, :, E:, :].reshape(9 * D, 4 * D)
@@ -402,27 +427,18 @@ def decode_step_pallas_gathered(
     HW = H * W
     dtype = jnp.bfloat16
 
-    h_rows = state.h.astype(dtype).reshape(NK * HW, D)
-    c_rows = state.c.astype(dtype).reshape(NK * HW, D)
-    emb_rows = emb_table.astype(dtype).reshape(HW, HW, E)
     with_scene = scene_mean is not None
-    if with_scene:
-        C = scene_mean.shape[-1]
-        scene_rows = scene_mean.astype(dtype).reshape(NK * HW, C)
-    else:
-        C = 1
-        scene_rows = jnp.zeros((NK * HW, 1), dtype)
-
-    mask = jnp.asarray(
-        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
+    h_rows, c_rows, scene_rows, C = _prep_state_rows(
+        state, scene_mean, NK, HW, dtype)
+    emb_rows = emb_table.astype(dtype).reshape(HW, HW, E)
+    mask = _neighbor_bias(H, W)
     cell_w = cell_params["kernel"].astype(dtype).reshape(
         9 * Cin, 4 * D)
     cell_b = cell_params["bias"].astype(jnp.float32).reshape(1, 4 * D)
     # [3, 3, D, 1] -> [D, 9] (w9[d, 3dy+dx] = K[dy, dx, d]),
     # lane-padded; the kernel contracts channels first then sums
     # nine single-lane spatial shifts (see _decode_kernel)
-    h2g_w = h2g_params["w"].astype(dtype).reshape(9, D).T
-    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 128 - 9)))
+    h2g_w = _h2g_channel_first(h2g_params, D, dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,      # (prev_ids, parent_rows)
@@ -496,19 +512,11 @@ def decode_step_pallas(
     HW = H * W
     dtype = jnp.bfloat16
 
-    h_rows = state.h.astype(dtype).reshape(N * HW, D)
-    c_rows = state.c.astype(dtype).reshape(N * HW, D)
-    emb_rows = emb.astype(dtype).reshape(N * HW, E)
     with_scene = scene_mean is not None
-    if with_scene:
-        C = scene_mean.shape[-1]
-        scene_rows = scene_mean.astype(dtype).reshape(N * HW, C)
-    else:
-        C = 1
-        scene_rows = jnp.zeros((N * HW, 1), dtype)
-
-    mask = jnp.asarray(
-        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
+    h_rows, c_rows, scene_rows, C = _prep_state_rows(
+        state, scene_mean, N, HW, dtype)
+    emb_rows = emb.astype(dtype).reshape(N * HW, E)
+    mask = _neighbor_bias(H, W)
     cell_w = cell_params["kernel"].astype(dtype).reshape(
         9 * Cin, 4 * D)
     cell_b = cell_params["bias"].astype(jnp.float32).reshape(1, 4 * D)
@@ -516,8 +524,7 @@ def decode_step_pallas(
     # [3, 3, D, 1] -> [D, 9] (w9[d, 3dy+dx] = K[dy, dx, d]),
     # lane-padded; the kernel contracts channels first then sums
     # nine single-lane spatial shifts (see _decode_kernel)
-    h2g_w = h2g_params["w"].astype(dtype).reshape(9, D).T
-    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 128 - 9)))
+    h2g_w = _h2g_channel_first(h2g_params, D, dtype)
 
     new_h, new_c, logits = pl.pallas_call(
         functools.partial(_decode_kernel, forget_bias=forget_bias,
@@ -675,41 +682,15 @@ def _decode_kernel_gathered_q8v2(ids_ref, par_ref,
     im2col rows are quantized by their own 3x3-neighborhood maxima.
     Both ride the MXU in int8; dequant is one rank-1 scale product."""
     del ids_ref, par_ref
-    HW = H * W
-    D = h_ref.shape[-1]
-    E = emb_ref.shape[-1]
-
-    # ---- GNN (identical to _decode_kernel)
     h = h_ref[:]
-    node = h
-    if with_scene:
-        node = jnp.concatenate([h, scene_ref[:]], axis=-1)
-    node_f = node.astype(jnp.float32)
-    sumsq = jnp.sum(node_f * node_f, axis=-1, keepdims=True)
-    node = (node_f * jax.lax.rsqrt(
-        jnp.maximum(sumsq, 1e-12))).astype(h.dtype)
-    edges = jnp.dot(node, node.T, preferred_element_type=jnp.float32)
-    edges = edges + mask_ref[:]
-    m = jnp.max(edges, axis=-1, keepdims=True)
-    e = jnp.exp(edges - m)
-    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(h.dtype)
-    agg = jnp.dot(attn, h, preferred_element_type=jnp.float32)
-    h2_f = h.astype(jnp.float32) + agg                   # f32 [HW, D]
+    h2_f = _gnn_attention(h, scene_ref, mask_ref, with_scene)
 
     # ---- embedding half: int8 patches from the pre-quantized row
-    emb_sp = jnp.pad(emb_ref[0].reshape(H, W, E),
-                     ((1, 1), (1, 1), (0, 0)))
-    patches_e = jnp.concatenate(
-        [emb_sp[dy:dy + H, dx:dx + W, :].reshape(HW, E)
-         for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=-1)
-    acc_e = jnp.dot(patches_e, w_eq_ref[:],
+    acc_e = jnp.dot(_im2col9(emb_ref[0], H, W), w_eq_ref[:],
                     preferred_element_type=jnp.int32)
 
     # ---- recurrent half: f32 patches, per-row dynamic quantization
-    h2_sp = jnp.pad(h2_f.reshape(H, W, D), ((1, 1), (1, 1), (0, 0)))
-    patches_h = jnp.concatenate(
-        [h2_sp[dy:dy + H, dx:dx + W, :].reshape(HW, D)
-         for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=-1)
+    patches_h = _im2col9(h2_f, H, W)
     r_p = jnp.maximum(
         jnp.max(jnp.abs(patches_h), axis=-1, keepdims=True), 1e-6)
     ph_q = jnp.round(patches_h * (127.0 / r_p)).astype(jnp.int8)
@@ -720,25 +701,11 @@ def _decode_kernel_gathered_q8v2(ids_ref, par_ref,
              + acc_h.astype(jnp.float32)
              * (u_c_ref[:] * (r_p / 127.0))
              + cell_b_ref[:])
-    i = gates[:, :D]
-    g = gates[:, D:2 * D]
-    f = gates[:, 2 * D:3 * D]
-    o = gates[:, 3 * D:]
-    c_old = c_ref[:].astype(jnp.float32)
-    new_c = (jax.nn.sigmoid(f + forget_bias) * c_old
-             + jax.nn.sigmoid(i) * jnp.tanh(g))
-    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+    new_c, new_h = _cell_update(gates, c_ref, forget_bias)
 
-    P = jnp.dot(new_h.astype(h.dtype), h2g_w_ref[:],
-                preferred_element_type=jnp.float32)
-    P_sp = jnp.pad(P.reshape(H, W, P.shape[-1]),
-                   ((1, 1), (1, 1), (0, 0)))
-    logits = sum(
-        P_sp[dy:dy + H, dx:dx + W, 3 * dy + dx]
-        for dy in (0, 1, 2) for dx in (0, 1, 2))
     h_out_ref[:] = new_h.astype(h_out_ref.dtype)
     c_out_ref[:] = new_c.astype(c_out_ref.dtype)
-    logits_ref[:] = logits.reshape(HW, 1)
+    logits_ref[:] = _class_readout(new_h, h2g_w_ref, h.dtype, H, W)
 
 
 @functools.partial(
@@ -767,22 +734,13 @@ def decode_step_pallas_gathered_q8v2(
     HW = H * W
     dtype = jnp.bfloat16
 
-    h_rows = state.h.astype(dtype).reshape(NK * HW, D)
-    c_rows = state.c.astype(dtype).reshape(NK * HW, D)
-    emb_rows = emb_q.reshape(HW, HW, E)
     with_scene = scene_mean is not None
-    if with_scene:
-        C = scene_mean.shape[-1]
-        scene_rows = scene_mean.astype(dtype).reshape(NK * HW, C)
-    else:
-        C = 1
-        scene_rows = jnp.zeros((NK * HW, 1), dtype)
-
-    mask = jnp.asarray(
-        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
+    h_rows, c_rows, scene_rows, C = _prep_state_rows(
+        state, scene_mean, NK, HW, dtype)
+    emb_rows = emb_q.reshape(HW, HW, E)
+    mask = _neighbor_bias(H, W)
     cell_b = cell_bias.astype(jnp.float32).reshape(1, 4 * D)
-    h2g_w = h2g_params["w"].astype(dtype).reshape(9, D).T
-    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 128 - 9)))
+    h2g_w = _h2g_channel_first(h2g_params, D, dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -852,62 +810,23 @@ def _decode_kernel_gathered_q8(ids_ref, par_ref,
     attention/readout; the im2col gate matmul runs int8 x int8 -> int32
     on the MXU with statically-folded dequant scales."""
     del ids_ref, par_ref
-    HW = H * W
-    D = h_ref.shape[-1]
-    E = emb_ref.shape[-1]
-    Cin = E + D
-
-    # ---- GNN (identical to _decode_kernel)
     h = h_ref[:]
-    node = h
-    if with_scene:
-        node = jnp.concatenate([h, scene_ref[:]], axis=-1)
-    node_f = node.astype(jnp.float32)
-    sumsq = jnp.sum(node_f * node_f, axis=-1, keepdims=True)
-    node = (node_f * jax.lax.rsqrt(
-        jnp.maximum(sumsq, 1e-12))).astype(h.dtype)
-    edges = jnp.dot(node, node.T, preferred_element_type=jnp.float32)
-    edges = edges + mask_ref[:]
-    m = jnp.max(edges, axis=-1, keepdims=True)
-    e = jnp.exp(edges - m)
-    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(h.dtype)
-    agg = jnp.dot(attn, h, preferred_element_type=jnp.float32)
-    h2_f = h.astype(jnp.float32) + agg                   # f32 [HW, D]
+    h2_f = _gnn_attention(h, scene_ref, mask_ref, with_scene)
 
     # ---- quantize the recurrent half (|h2| < 2 by construction) and
     # assemble int8 im2col patches with the pre-quantized emb row
     h2_q = jnp.clip(jnp.round(h2_f * (127.0 / 2.0)),
                     -127, 127).astype(jnp.int8)
     xin = jnp.concatenate([emb_ref[0], h2_q], axis=-1)   # int8 [HW, Cin]
-    xin_sp = jnp.pad(xin.reshape(H, W, Cin),
-                     ((1, 1), (1, 1), (0, 0)))
-    patches = jnp.concatenate(
-        [xin_sp[dy:dy + H, dx:dx + W, :].reshape(HW, Cin)
-         for dy in (0, 1, 2) for dx in (0, 1, 2)],
-        axis=-1)                                         # int8 [HW, 9Cin]
+    patches = _im2col9(xin, H, W)                        # int8 [HW, 9Cin]
     acc = jnp.dot(patches, cell_wq_ref[:],
                   preferred_element_type=jnp.int32)
     gates = acc.astype(jnp.float32) * tq_ref[:] + cell_b_ref[:]
-    i = gates[:, :D]
-    g = gates[:, D:2 * D]
-    f = gates[:, 2 * D:3 * D]
-    o = gates[:, 3 * D:]
-    c_old = c_ref[:].astype(jnp.float32)
-    new_c = (jax.nn.sigmoid(f + forget_bias) * c_old
-             + jax.nn.sigmoid(i) * jnp.tanh(g))
-    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+    new_c, new_h = _cell_update(gates, c_ref, forget_bias)
 
-    # ---- class readout (identical channel-first bf16 form)
-    P = jnp.dot(new_h.astype(h.dtype), h2g_w_ref[:],
-                preferred_element_type=jnp.float32)
-    P_sp = jnp.pad(P.reshape(H, W, P.shape[-1]),
-                   ((1, 1), (1, 1), (0, 0)))
-    logits = sum(
-        P_sp[dy:dy + H, dx:dx + W, 3 * dy + dx]
-        for dy in (0, 1, 2) for dx in (0, 1, 2))
     h_out_ref[:] = new_h.astype(h_out_ref.dtype)
     c_out_ref[:] = new_c.astype(c_out_ref.dtype)
-    logits_ref[:] = logits.reshape(HW, 1)
+    logits_ref[:] = _class_readout(new_h, h2g_w_ref, h.dtype, H, W)
 
 
 @functools.partial(
@@ -939,22 +858,13 @@ def decode_step_pallas_gathered_q8(
     HW = H * W
     dtype = jnp.bfloat16
 
-    h_rows = state.h.astype(dtype).reshape(NK * HW, D)
-    c_rows = state.c.astype(dtype).reshape(NK * HW, D)
-    emb_rows = emb_q.reshape(HW, HW, E)
     with_scene = scene_mean is not None
-    if with_scene:
-        C = scene_mean.shape[-1]
-        scene_rows = scene_mean.astype(dtype).reshape(NK * HW, C)
-    else:
-        C = 1
-        scene_rows = jnp.zeros((NK * HW, 1), dtype)
-
-    mask = jnp.asarray(
-        (1.0 - gnn_neighbor_mask(H, W)) * -1e30, jnp.float32)
+    h_rows, c_rows, scene_rows, C = _prep_state_rows(
+        state, scene_mean, NK, HW, dtype)
+    emb_rows = emb_q.reshape(HW, HW, E)
+    mask = _neighbor_bias(H, W)
     cell_b = cell_bias.astype(jnp.float32).reshape(1, 4 * D)
-    h2g_w = h2g_params["w"].astype(dtype).reshape(9, D).T
-    h2g_w = jnp.pad(h2g_w, ((0, 0), (0, 128 - 9)))
+    h2g_w = _h2g_channel_first(h2g_params, D, dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,      # (prev_ids, parent_rows)

@@ -72,7 +72,6 @@ class EngineStats:
     requests: int = 0
     batches: int = 0
     errors: int = 0
-    occupancy_sum: int = 0
     latency_sum_s: float = 0.0
     latency_max_s: float = 0.0
     _lock: threading.Lock = field(default_factory=threading.Lock,
@@ -82,7 +81,6 @@ class EngineStats:
         with self._lock:
             self.batches += 1
             self.requests += n_real
-            self.occupancy_sum += n_real
             for v in latencies:
                 self.latency_sum_s += v
                 self.latency_max_s = max(self.latency_max_s, v)
@@ -90,14 +88,13 @@ class EngineStats:
     def reset(self):
         with self._lock:
             self.requests = self.batches = self.errors = 0
-            self.occupancy_sum = 0
             self.latency_sum_s = self.latency_max_s = 0.0
 
     def snapshot(self) -> dict:
         with self._lock:
             mean_lat = (self.latency_sum_s / self.requests
                         if self.requests else 0.0)
-            occ = (self.occupancy_sum / self.batches
+            occ = (self.requests / self.batches
                    if self.batches else 0.0)
             return {
                 "requests": self.requests,
@@ -248,12 +245,14 @@ class ServingEngine:
                 space); None = all background.
             pred_len: decode steps to return (≤ engine T_pred).
         """
+        if self._stop.is_set():
+            raise RuntimeError("engine is closed")
         cfg = self.cfg
         obs = np.asarray(obs_traj, np.float32)
         if obs.shape != (cfg.obs_len, 2):
             raise ValueError(
                 f"obs_traj must be [{cfg.obs_len}, 2], got {obs.shape}")
-        pl = int(pred_len or self.T_pred)
+        pl = self.T_pred if pred_len is None else int(pred_len)
         if not 1 <= pl <= self.T_pred:
             raise ValueError(
                 f"pred_len {pl} outside [1, {self.T_pred}]")
@@ -280,6 +279,15 @@ class ServingEngine:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5.0)
+        # resolve anything still queued so waiters fail fast instead of
+        # blocking out their full predict timeout
+        while True:
+            try:
+                pending = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            pending.error = RuntimeError("engine closed")
+            pending.event.set()
 
     # ------------------------------------------------------- internals
 
@@ -300,7 +308,14 @@ class ServingEngine:
                 f"scene_class_map must be [{cfg.scene_h}, "
                 f"{cfg.scene_w}] or [{cfg.obs_len}, {cfg.scene_h}, "
                 f"{cfg.scene_w}], got {np.asarray(class_map).shape}")
-        ids = np.clip(cm.astype(np.int64), 0, C - 1)
+        ids = cm.astype(np.int64)
+        if ids.min() < 0 or ids.max() >= C:
+            # ids outside the model's class space mean the client is in
+            # a different labeling — reject instead of silently
+            # conditioning on a clipped garbage scene
+            raise ValueError(
+                f"scene class ids must be in [0, {C - 1}], got "
+                f"[{ids.min()}, {ids.max()}]")
         return (ids[..., None]
                 == np.arange(C, dtype=np.int64)).astype(np.uint8)
 

@@ -330,7 +330,7 @@ def test_q8_beam_wiring_interpret(rng, monkeypatch):
 
     monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
     cfg, sp, first, state, scene_mean = _setup(rng)
-    cfg8 = cfg.replace(decode_quant="int8")
+    cfg8 = cfg.replace(decode_quant="int8", compute_dtype="bfloat16")
     dt = jnp.bfloat16
     T = 5
     out8 = diverse_beam_search(
