@@ -66,13 +66,32 @@ def main():
         sync(step(params, batch))
     dt = time.perf_counter() - t0
 
-    print(json.dumps({
+    record = {
         "metric": "greedy_decode_throughput",
         "value": round(BATCH * ITERS / dt, 2),
         "unit": "traj/s",
         "batch": BATCH,
         "dtype": "bfloat16",
-    }))
+    }
+
+    # opt-in int8 turbo tier on the same greedy path
+    if dev.platform == "tpu":
+        cfg8 = cfg.replace(decode_quant="int8").validate()
+
+        @jax.jit
+        def step8(p, b):
+            out = model_forward(p, b, cfg8, is_train=False)
+            return out.class_logits[i], out.reg_out[i]
+
+        sync(step8(params, batch))
+        sync(step8(params, batch))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            sync(step8(params, batch))
+        record["int8_value"] = round(
+            BATCH * ITERS / (time.perf_counter() - t0), 2)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
