@@ -114,6 +114,25 @@ def batch_pspec(batch: Batch) -> Batch:
     )
 
 
+def _leaf_pspec(leaf, mp: int):
+    """Shape-based sharding rule shared by params and their optimizer
+    accumulators: output-channel (last) axis over "model" when
+    divisible; otherwise the input-channel axis (a readout conv like
+    h2g's [3, 3, D, 1] keeps its weight where its TP-sharded input
+    lives — also what GSPMD picks when left unconstrained, so the
+    train-step executable is reused across calls); replicated as the
+    fallback."""
+    if mp == 1:
+        return P()
+    if leaf.ndim >= 1 and leaf.shape[-1] % mp == 0:
+        return P(*((None,) * (leaf.ndim - 1) + ("model",)))
+    if leaf.ndim >= 2 and leaf.shape[-2] % mp == 0:
+        # no trailing None: P(..., 'model') and P(..., 'model', None)
+        # are equivalent but hash differently, and jit caches by hash
+        return P(*((None,) * (leaf.ndim - 2) + ("model",)))
+    return P()
+
+
 def param_pspecs(params: dict, mesh: Mesh) -> dict:
     """PartitionSpec tree for the parameter pytree.
 
@@ -123,15 +142,8 @@ def param_pspecs(params: dict, mesh: Mesh) -> dict:
     fused [k, k, Cin+D, 4D] kernel becomes 4D/mp per chip.
     """
     mp = mesh.shape["model"]
-
-    def spec(path, leaf):
-        if mp == 1:
-            return P()
-        if leaf.ndim >= 1 and leaf.shape[-1] % mp == 0:
-            return P(*((None,) * (leaf.ndim - 1) + ("model",)))
-        return P()
-
-    return jax.tree_util.tree_map_with_path(spec, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _leaf_pspec(leaf, mp), params)
 
 
 def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
@@ -233,6 +245,17 @@ def init_sharded_train_state(
         lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
         params, pspecs)
     opt_state = jax.jit(tx.init)(placed)
+    # optimizer accumulators are value-independent constants inside
+    # tx.init (zeros_like), so XLA gives them default single-device
+    # shardings — feeding those into the first train step and getting
+    # NamedSharding-placed ones back would recompile the entire step on
+    # call #2.  Re-place them under the same shape-based rule as the
+    # params so every call shares one executable.
+    mp = mesh.shape["model"]
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, _leaf_pspec(x, mp))),
+        opt_state)
     return TrainState(
         step=_replicate(mesh, jnp.zeros((), jnp.int32)),
         params=placed,

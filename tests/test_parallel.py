@@ -116,6 +116,13 @@ def test_sharded_train_step_matches_single_device(model_parallel):
     leaf = jax.device_get(jax.tree.leaves(new_state.params)[0])
     assert np.isfinite(leaf).all()
     assert int(new_state.step) == 1
+    # regression: the step's output TrainState must re-enter the SAME
+    # executable — optimizer accumulators from tx.init used to come out
+    # with default (single-device) shardings, so call #2 recompiled the
+    # whole train graph (~35s per mvt-train launch on the TPU backend)
+    with mesh:
+        step(new_state, sbatch)
+    assert step._cache_size() == 1
 
 
 def test_sharded_beam_step_runs():
