@@ -208,10 +208,27 @@ class ServingEngine:
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self.stats = EngineStats()
-        self._worker = threading.Thread(
-            target=self._worker_loop, name="mvt-serving-worker",
+        # two-stage pipeline: the batcher drains/builds/dispatches (host
+        # work + async device enqueue), the resolver blocks on device
+        # results and wakes waiters.  With JAX's async dispatch the next
+        # batch is being assembled on the host while the previous one is
+        # still on the MXU — the chip never waits for numpy.  _slots
+        # bounds in-flight device work (one computing + one queued): a
+        # slot is taken at dispatch and released only after the batch
+        # RESOLVES, and while no slot is free the batcher keeps filling
+        # the next batch instead of locking in a small one — with a
+        # static-shape compiled graph every batch costs the same device
+        # time, so occupancy is throughput.
+        self._inflight: "queue.Queue" = queue.Queue()
+        self._slots = threading.BoundedSemaphore(2)
+        self._batcher = threading.Thread(
+            target=self._batcher_loop, name="mvt-serving-batcher",
             daemon=True)
-        self._worker.start()
+        self._resolver = threading.Thread(
+            target=self._resolver_loop, name="mvt-serving-resolver",
+            daemon=True)
+        self._batcher.start()
+        self._resolver.start()
 
     # ------------------------------------------------------------ API
 
@@ -278,7 +295,8 @@ class ServingEngine:
 
     def close(self):
         self._stop.set()
-        self._worker.join(timeout=5.0)
+        self._batcher.join(timeout=5.0)
+        self._resolver.join(timeout=30.0)  # lets in-flight batches land
         # resolve anything still queued so waiters fail fast instead of
         # blocking out their full predict timeout
         while True:
@@ -320,22 +338,43 @@ class ServingEngine:
                 == np.arange(C, dtype=np.int64)).astype(np.uint8)
 
     def _drain(self) -> List[_Pending]:
-        """Block for the first request, then fill up to max_batch until
-        the delay budget runs out."""
+        """Block for the first request, then fill up to max_batch.
+
+        The delay dial (`max_delay_ms`) only gates dispatch while a
+        device slot is actually free: when both slots are in flight,
+        dispatching earlier could not start the batch any sooner, so
+        the batcher keeps collecting instead — under load, batches
+        leave full.  Returns with a slot HELD (unless empty/stopping)."""
         try:
             first = self._queue.get(timeout=0.1)
         except queue.Empty:
             return []
         batch = [first]
         deadline = time.perf_counter() + self.max_delay_s
-        while len(batch) < self.max_batch:
-            left = deadline - time.perf_counter()
-            if left <= 0:
+        have_slot = self._slots.acquire(blocking=False)
+        while len(batch) < self.max_batch and not self._stop.is_set():
+            if not have_slot:
+                have_slot = self._slots.acquire(blocking=False)
+            now = time.perf_counter()
+            if have_slot and now >= deadline:
+                # sweep anything already queued, then dispatch
+                while len(batch) < self.max_batch:
+                    try:
+                        batch.append(self._queue.get_nowait())
+                    except queue.Empty:
+                        break
                 break
+            timeout = 0.002 if not have_slot else \
+                max(deadline - now, 0.0005)
             try:
-                batch.append(self._queue.get(timeout=left))
+                batch.append(self._queue.get(timeout=timeout))
             except queue.Empty:
-                break
+                continue
+        while not have_slot and not self._stop.is_set():
+            have_slot = self._slots.acquire(timeout=0.1)
+        if not have_slot:  # stopping
+            self._fail(batch, RuntimeError("engine closed"))
+            return []
         return batch
 
     def _build_batch(self, reqs: List[_Pending]) -> Batch:
@@ -371,12 +410,14 @@ class ServingEngine:
             pred_length=pred_lens,
         )
 
-    def _worker_loop(self):
-        import jax
+    def _batcher_loop(self):
+        """Stage 1: drain requests, build + dispatch a device batch.
 
-        K = self.cfg.beam_size
+        The jitted step call returns immediately (async dispatch) — the
+        result handles go to the resolver, which is the only place that
+        blocks on the device."""
         while not self._stop.is_set():
-            reqs = self._drain()
+            reqs = self._drain()  # holds one in-flight slot on success
             if not reqs:
                 continue
             try:
@@ -385,35 +426,58 @@ class ServingEngine:
                     from multiverse_tpu.parallel import shard_batch
 
                     batch = shard_batch(self._mesh, batch)
-                if self.greedy:
-                    trajs_all = np.asarray(jax.device_get(
-                        self._step(self._params, batch)))  # [B, T, 2]
-                    logprobs_all = None
-                else:
-                    trajs_all, logprobs_all = jax.device_get(
-                        self._step(self._params, batch))
-                    trajs_all = np.asarray(trajs_all)      # [B, K, T, 2]
-                    logprobs_all = np.asarray(logprobs_all)
-                now = time.perf_counter()
-                lats = []
-                for a, r in enumerate(reqs):
-                    pl = r.pred_len
-                    if self.greedy:
-                        trajs = np.tile(
-                            trajs_all[a, :pl][None], (K, 1, 1))
-                        logprobs = np.zeros((K,), np.float32)
-                    else:
-                        trajs = trajs_all[a, :, :pl]
-                        logprobs = logprobs_all[a]
-                    r.result = PredictionResult(
-                        trajs=np.ascontiguousarray(trajs, np.float32),
-                        logprobs=logprobs, pred_len=pl)
-                    lats.append(now - r.t_submit)
-                    r.event.set()
-                self.stats.record_batch(len(reqs), lats)
+                out = self._step(self._params, batch)
             except Exception as exc:  # resolve waiters, keep serving
-                with self.stats._lock:
-                    self.stats.errors += 1
-                for r in reqs:
-                    r.error = exc
-                    r.event.set()
+                self._slots.release()
+                self._fail(reqs, exc)
+                continue
+            self._inflight.put((reqs, out))
+
+    def _resolver_loop(self):
+        """Stage 2: block on device results, wake waiters."""
+        K = self.cfg.beam_size
+        while not (self._stop.is_set() and self._inflight.empty()):
+            try:
+                reqs, out = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                self._resolve(reqs, out, K)
+            except Exception as exc:
+                self._fail(reqs, exc)
+            finally:
+                self._slots.release()  # batch fully landed: free a slot
+
+    def _resolve(self, reqs: List[_Pending], out, K: int):
+        import jax
+
+        if self.greedy:
+            trajs_all = np.asarray(jax.device_get(out))    # [B, T, 2]
+            logprobs_all = None
+        else:
+            trajs_all, logprobs_all = jax.device_get(out)
+            trajs_all = np.asarray(trajs_all)              # [B, K, T, 2]
+            logprobs_all = np.asarray(logprobs_all)
+        now = time.perf_counter()
+        lats = []
+        for a, r in enumerate(reqs):
+            pl = r.pred_len
+            if self.greedy:
+                trajs = np.tile(trajs_all[a, :pl][None], (K, 1, 1))
+                logprobs = np.zeros((K,), np.float32)
+            else:
+                trajs = trajs_all[a, :, :pl]
+                logprobs = logprobs_all[a]
+            r.result = PredictionResult(
+                trajs=np.ascontiguousarray(trajs, np.float32),
+                logprobs=logprobs, pred_len=pl)
+            lats.append(now - r.t_submit)
+            r.event.set()
+        self.stats.record_batch(len(reqs), lats)
+
+    def _fail(self, reqs: List[_Pending], exc: Exception):
+        with self.stats._lock:
+            self.stats.errors += 1
+        for r in reqs:
+            r.error = exc
+            r.event.set()
