@@ -90,6 +90,10 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
                         help="none|int8|int8_dyn — int8 MXU mode for "
                              "the fused beam-decode gate matmul "
                              "(inference fast path on bfloat16)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize encoder/decoder scan steps "
+                             "in the backward (1/3 more FLOPs, O(T) "
+                             "less HBM) — enables large-batch training")
 
 
 def add_train_args(parser: argparse.ArgumentParser) -> None:
@@ -141,6 +145,7 @@ def config_from_args(args: argparse.Namespace) -> MultiverseConfig:
         beam_size=args.beam_size,
         compute_dtype=args.compute_dtype,
         decode_quant=getattr(args, "decode_quant", "none"),
+        remat=getattr(args, "remat", False),
         **grid_kw,
     )
     for name in ("grid_loss_weight", "grid_reg_loss_weight", "wd",

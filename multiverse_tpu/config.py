@@ -100,6 +100,23 @@ class MultiverseConfig:
     # ops/pallas_decode.py int8 section + STATUS.md).
     decode_quant: str = "none"
 
+    # Rematerialize the encoder/decoder scan steps in the backward pass
+    # (jax.checkpoint): per-step conv/gate residuals are recomputed
+    # instead of stored, cutting the O(T · N · h · w · 4D) HLO-temp HBM
+    # that otherwise caps training batch size (batch 256 at the
+    # flagship shapes needs ~26 GB un-rematerialized vs 15.75 GB HBM on
+    # one v5e chip) at the cost of ~1/3 more FLOPs.  Off by default —
+    # the published batch 20 fits comfortably without it.
+    remat: bool = False
+
+    # Use the Pallas TPU kernels (fused decode step, dense GNN
+    # attention) where available.  pallas_call lowers to an opaque
+    # custom call with no GSPMD partitioning rule, so the sharded step
+    # builders (parallel/mesh.py) and the mesh serving engine clear
+    # this automatically on multi-device meshes — the jnp paths
+    # partition cleanly; single-chip execution keeps the kernels.
+    allow_pallas: bool = True
+
     # ------------------------------------------------------------------
     @property
     def seq_len(self) -> int:

@@ -69,6 +69,18 @@ def _controls(moment: dict, kind: str) -> dict:
     return moment.setdefault(key, {})
 
 
+def _pid_keys(pid: float) -> Tuple[str, ...]:
+    """Candidate x_agents keys for a pid.  JSON keys are strings and
+    the reference resets them to int spellings
+    (reference: annotate_carla.py:392-400), so an integral pid maps to
+    "1" (with "1.0" tolerated from hand-edited files); a fractional
+    pid keeps its own spelling and never collides with an integral
+    pid's key."""
+    if float(pid) == int(pid):
+        return (str(int(pid)), str(float(pid)))
+    return (str(pid),)
+
+
 def _actor_frames(controls: dict, pid: float) -> List[int]:
     """Sorted frame ids at which `pid` has a control record."""
     return sorted(
@@ -176,8 +188,8 @@ class MomentEditor:
             if not controls[f]:
                 del controls[f]
         if kind == "person":
-            self.moment.get("x_agents", {}).pop(str(int(pid)), None)
-            self.moment.get("x_agents", {}).pop(str(pid), None)
+            for key in _pid_keys(pid):
+                self.moment.get("x_agents", {}).pop(key, None)
         removed = self.selected
         self.select_actor(0)
         return removed
@@ -225,11 +237,16 @@ class MomentEditor:
         f, rec = last
         kind, pid = self.selected
         controls = _controls(self.moment, kind)
-        key = self._key_for_frame(controls, f)
-        controls[key] = [r for r in controls[key] if r is not rec]
-        if not controls[key]:
-            del controls[key]
-        return f
+        # delete from the key the record actually lives under — with
+        # mixed key spellings ("30" and "30.0" both present)
+        # _key_for_frame alone could pick the other list
+        for key in (str(f), str(float(f)), f):
+            if key in controls and any(r is rec for r in controls[key]):
+                controls[key] = [r for r in controls[key] if r is not rec]
+                if not controls[key]:
+                    del controls[key]
+                return f
+        return None
 
     def add_control_point(self, xyz: List[float]) -> Tuple[str, float]:
         """click — extend the selected actor's trajectory to `xyz`
@@ -329,9 +346,13 @@ class MomentEditor:
         """`x` — mark the selected person as an x-agent."""
         if self.selected is None or self.selected[0] != "person":
             return None
-        pid_key = str(int(self.selected[1]))
-        self.moment.setdefault("x_agents", {}).setdefault(pid_key, [])
-        return pid_key
+        keys = _pid_keys(self.selected[1])
+        x_agents = self.moment.setdefault("x_agents", {})
+        for key in keys:  # reuse an existing spelling before creating
+            if key in x_agents:
+                return key
+        x_agents[keys[0]] = []
+        return keys[0]
 
     def delete_last_destination(self) -> Optional[List[float]]:
         """`z` — pop the selected x-agent's last destination."""
@@ -340,7 +361,7 @@ class MomentEditor:
             # pid must not touch that person's x-agent entry
             return None
         x_agents = self.moment.get("x_agents", {})
-        for key in (str(int(self.selected[1])), str(self.selected[1])):
+        for key in _pid_keys(self.selected[1]):
             if key in x_agents and x_agents[key]:
                 return x_agents[key].pop()
         return None

@@ -156,6 +156,7 @@ def diverse_beam_search(
     from multiverse_tpu.ops import pallas_decode
 
     fused = (compute_dtype == jnp.bfloat16
+             and cfg.allow_pallas
              and pallas_decode.fused_decode_available()
              and use_gnn and not save_states)
     # opt-in int8 gate matmul (2x the bf16 MXU peak); quantized
@@ -164,14 +165,8 @@ def diverse_beam_search(
     # "int8_dyn" = split matmuls with per-row dynamic scales.
     quant8 = fused and cfg.decode_quant in ("int8", "int8_dyn")
     if quant8:
-        if cfg.decode_quant == "int8_dyn":
-            quant = pallas_decode.quantize_decode_weights_v2(
-                cell_p, emb_table)
-            q8_step = pallas_decode.decode_step_pallas_gathered_q8v2
-        else:
-            quant = pallas_decode.quantize_decode_weights(
-                cell_p, emb_table)
-            q8_step = pallas_decode.decode_step_pallas_gathered_q8
+        quant, q8_step = pallas_decode.select_quant(
+            cfg.decode_quant, cell_p, emb_table)
 
     def step(carry, t):
         state, prev_ids, prev_parents, logprob = carry
@@ -206,8 +201,9 @@ def diverse_beam_search(
             if use_gnn:
                 # pallas kernel on TPU bf16, exact jnp 9-neighbor
                 # reformulation elsewhere (see ops/gnn.py)
-                hh = hh + gnn_step_auto(hh, scene_nk,
-                                        compute_dtype=compute_dtype)
+                hh = hh + gnn_step_auto(
+                    hh, scene_nk, compute_dtype=compute_dtype,
+                    allow_pallas=cfg.allow_pallas)
             out, new_state_f = convlstm_step(
                 cell_p, emb, ConvLSTMState(c=_fold(state.c), h=hh),
                 compute_dtype=compute_dtype,

@@ -211,6 +211,7 @@ def greedy_decode(
 
     fused = (
         allow_fused
+        and cfg.allow_pallas
         and feedback == "onehot"
         and use_gnn
         and compute_dtype == jnp.bfloat16
@@ -236,14 +237,8 @@ def greedy_decode(
             scene_mean.astype(compute_dtype)
         quant8 = cfg.decode_quant in ("int8", "int8_dyn")
         if quant8:
-            if cfg.decode_quant == "int8_dyn":
-                quant = pallas_decode.quantize_decode_weights_v2(
-                    cell_p, emb_table)
-                q8_step = pallas_decode.decode_step_pallas_gathered_q8v2
-            else:
-                quant = pallas_decode.quantize_decode_weights(
-                    cell_p, emb_table)
-                q8_step = pallas_decode.decode_step_pallas_gathered_q8
+            quant, q8_step = pallas_decode.select_quant(
+                cfg.decode_quant, cell_p, emb_table)
 
         def fused_step(carry, t):
             state, ids = carry
@@ -274,7 +269,8 @@ def greedy_decode(
             # kernel carries a custom VJP with a fused backward) and
             # the exact jnp 9-neighbor reformulation elsewhere
             agg = gnn_step_auto(state.h, scene_mean,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                allow_pallas=cfg.allow_pallas)
             state = ConvLSTMState(c=state.c, h=state.h + agg)
         emb = conv2d(emb_p, x, activation=act, compute_dtype=compute_dtype)
         out, state = convlstm_step(cell_p, emb, state,
@@ -289,6 +285,10 @@ def greedy_decode(
             nxt = logits
         return (state, nxt), (out, logits)
 
+    if cfg.remat:
+        # recompute the step in the backward instead of storing the
+        # per-step gate/conv residuals (see config.remat)
+        step = jax.checkpoint(step)
     (_, _), (outs, logits) = jax.lax.scan(
         step, (init_state, first_input), jnp.arange(T_pred)
     )
@@ -344,12 +344,13 @@ def model_forward(
             enc_in = emb.reshape(N, T_obs, h, w, cfg.emb_size)
 
         _, enc_last = convlstm_scan(
-            sp["enc_class"], enc_in, compute_dtype=compute_dtype
+            sp["enc_class"], enc_in, compute_dtype=compute_dtype,
+            remat=cfg.remat,
         )
         if not cfg.use_single_decoder:
             _, enc_reg_last = convlstm_scan(
                 sp["enc_reg"], batch.obs_grid_target_all[idx],
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, remat=cfg.remat,
             )
 
         scene_mean = None

@@ -142,9 +142,11 @@ def tower_forward(
 
     enc_in = scene_convs[i] * obs_onehot
     _, enc_last = convlstm_scan(sp["enc_class"], enc_in,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                remat=cfg.remat)
     _, enc_reg_last = convlstm_scan(sp["enc_reg"], obs_reg,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    remat=cfg.remat)
 
     scene_mean = jnp.mean(scene_convs[i], axis=1) if cfg.use_gnn else None
 

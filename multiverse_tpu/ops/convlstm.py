@@ -93,6 +93,7 @@ def convlstm_scan(
     seq_lengths: Optional[jnp.ndarray] = None,
     forget_bias: float = 1.0,
     compute_dtype: Optional[jnp.dtype] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, ConvLSTMState]:
     """Run the cell over time with ``lax.scan``.
 
@@ -103,6 +104,9 @@ def convlstm_scan(
     Args:
         xs: [N, T, H, W, Cin] time-major inside the scan.
         seq_lengths: optional [N] int; None = full length for all.
+        remat: checkpoint each step — the backward recomputes the gate
+            conv instead of keeping [T, N, H, W, 4D] residuals in HBM
+            (cfg.remat; enables large-batch training).
     Returns:
         (outputs [N, T, H, W, D], final ConvLSTMState)
     """
@@ -135,6 +139,8 @@ def convlstm_scan(
             )
         return (new_state, t + 1), out
 
+    if remat:
+        body = jax.checkpoint(body)
     (final_state, _), outs = jax.lax.scan(
         body, (init_state, jnp.asarray(0, jnp.int32)), xs_t
     )

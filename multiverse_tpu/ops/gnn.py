@@ -48,13 +48,17 @@ def gnn_step_auto(
     hidden: jnp.ndarray,
     scene_feat: Optional[jnp.ndarray] = None,
     compute_dtype: Optional[jnp.dtype] = None,
+    allow_pallas: bool = True,
 ) -> jnp.ndarray:
     """Dispatch: fused Pallas dense-attention kernel on the TPU bf16
     path (2.4x the jnp step; MXU matmuls, edges never leave VMEM) —
     including under differentiation, via its custom VJP with a fused
     backward kernel — and the exact jnp 9-neighbor reformulation
-    everywhere else (CPU tests and f32 parity runs)."""
-    if (compute_dtype == jnp.bfloat16
+    everywhere else (CPU tests, f32 parity runs, and multi-device
+    sharded jits: pass allow_pallas=False there, pallas_call has no
+    GSPMD partitioning rule — cfg.allow_pallas carries this)."""
+    if (allow_pallas
+            and compute_dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"):
         from multiverse_tpu.ops.pallas_gnn import gnn_step_pallas
 

@@ -597,6 +597,20 @@ def decode_step_pallas(
 # (cfg.decode_quant == "int8", off by default).
 
 
+def select_quant(decode_quant: str, cell_params: dict,
+                 emb_table: jnp.ndarray):
+    """(quantized operands, q8 step fn) for a cfg.decode_quant value —
+    the single dispatch point shared by the greedy and beam decoders so
+    the two paths cannot drift."""
+    if decode_quant == "int8_dyn":
+        return (quantize_decode_weights_v2(cell_params, emb_table),
+                decode_step_pallas_gathered_q8v2)
+    if decode_quant == "int8":
+        return (quantize_decode_weights(cell_params, emb_table),
+                decode_step_pallas_gathered_q8)
+    raise ValueError(f"no int8 decode mode named {decode_quant!r}")
+
+
 def quantize_decode_weights(cell_params: dict, emb_table: jnp.ndarray):
     """Precompute the int8 decode operands from f32/bf16 params.
 

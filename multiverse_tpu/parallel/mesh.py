@@ -172,6 +172,19 @@ _replicate = replicate
 # -------------------------------------------------------------- steps
 
 
+def _no_pallas_if_multidevice(
+    cfg: MultiverseConfig, mesh: Mesh
+) -> MultiverseConfig:
+    """Pallas kernels lower to opaque custom calls with no GSPMD
+    partitioning rule — inside a multi-device-sharded jit they would be
+    replicated with all-gathers (or fail to lower) instead of running
+    data-parallel.  The jnp paths partition cleanly, so sharded steps
+    clear cfg.allow_pallas; single-device meshes keep the kernels."""
+    if mesh.size > 1 and cfg.allow_pallas:
+        return cfg.replace(allow_pallas=False)
+    return cfg
+
+
 def make_sharded_train_step(
     cfg: MultiverseConfig,
     tx: optax.GradientTransformation,
@@ -184,6 +197,8 @@ def make_sharded_train_step(
     loss mean makes XLA emit the gradient all-reduce over "data" on its
     own — no hand-written collectives.
     """
+
+    cfg = _no_pallas_if_multidevice(cfg, mesh)
 
     def loss_fn(params, batch):
         out = model_forward(params, batch, cfg, is_train=True)
@@ -204,6 +219,7 @@ def make_sharded_train_step(
 
 def make_sharded_eval_step(cfg: MultiverseConfig, mesh: Mesh):
     """Greedy-decode inference step, batch sharded over "data"."""
+    cfg = _no_pallas_if_multidevice(cfg, mesh)
 
     def step(params, batch: Batch):
         out = model_forward(params, batch, cfg, is_train=False)
@@ -225,6 +241,7 @@ def make_sharded_beam_step(
     chip-local inside the folded batch axis.
     """
     T = T_pred or cfg.pred_len
+    cfg = _no_pallas_if_multidevice(cfg, mesh)
 
     def step(params, batch: Batch):
         from multiverse_tpu.inference import beam_forward

@@ -156,12 +156,15 @@ class ServingEngine:
         self._mesh = mesh
         if mesh is not None:
             from multiverse_tpu.parallel import replicate
+            from multiverse_tpu.parallel.mesh import (
+                _no_pallas_if_multidevice)
 
             dp = mesh.shape["data"]
             if self.max_batch % dp != 0:
                 raise ValueError(
                     f"max_batch {self.max_batch} not divisible by the "
                     f"mesh data axis ({dp})")
+            self.cfg = _no_pallas_if_multidevice(self.cfg, mesh)
             self._params = replicate(mesh, params)
         else:
             self._params = jax.device_put(params)
@@ -204,6 +207,22 @@ class ServingEngine:
             return trajs.astype(jnp.float32)
 
         self._step = jax.jit(greedy_step if self.greedy else beam_step)
+
+        # device-resident all-background scene table for the common
+        # case where no request attaches a scene: rebuilding + uploading
+        # the worst-case [F_scene, SH, SW, C] table (~13 MB at flagship
+        # max_batch=64) every batch would ride the slow host link for
+        # identical bytes; a cached device array transfers nothing
+        rows = np.zeros(
+            (self.F_scene, cfg.scene_h, cfg.scene_w, cfg.scene_class),
+            np.uint8)
+        rows[..., 0] = 1
+        if mesh is not None:
+            from multiverse_tpu.parallel import replicate
+
+            self._default_scene = replicate(mesh, jnp.asarray(rows))
+        else:
+            self._default_scene = jax.device_put(jnp.asarray(rows))
 
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
@@ -276,6 +295,16 @@ class ServingEngine:
         onehot = self._scene_onehot(scene_class_map)
         pending = _Pending(obs, onehot, pl)
         self._queue.put(pending)
+        if self._stop.is_set():
+            # close() may already have swept the queue — fail whatever
+            # is left (any entry is safe to fail: the engine is closed)
+            while True:
+                try:
+                    p = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                p.error = RuntimeError("engine is closed")
+                p.event.set()
         return pending
 
     def predict(
@@ -309,14 +338,13 @@ class ServingEngine:
 
     # ------------------------------------------------------- internals
 
-    def _scene_onehot(self, class_map) -> np.ndarray:
+    def _scene_onehot(self, class_map) -> Optional[np.ndarray]:
+        """One-hot scene mask for a request; None = all background
+        (lets the batch builder keep the cached device table)."""
         cfg = self.cfg
         C = cfg.scene_class
-        shape = (cfg.obs_len, cfg.scene_h, cfg.scene_w, C)
         if class_map is None:
-            onehot = np.zeros(shape, np.uint8)
-            onehot[..., 0] = 1
-            return onehot
+            return None
         cm = np.asarray(class_map)
         if cm.ndim == 2:
             cm = np.broadcast_to(
@@ -385,10 +413,14 @@ class ServingEngine:
 
         cls = np.zeros((B, cfg.num_scales, T_obs), np.int32)
         tgt0 = None
-        scene_rows = np.zeros(
-            (self.F_scene, cfg.scene_h, cfg.scene_w, cfg.scene_class),
-            np.uint8)
-        scene_rows[..., 0] = 1
+        all_default = all(r.scene_onehot is None for r in padded)
+        if all_default:
+            scene_rows = self._default_scene  # device-resident, no xfer
+        else:
+            scene_rows = np.zeros(
+                (self.F_scene, cfg.scene_h, cfg.scene_w,
+                 cfg.scene_class), np.uint8)
+            scene_rows[..., 0] = 1
         obs_scene = np.zeros((B, T_obs), np.int32)
         pred_lens = np.zeros((B,), np.int32)
         for a, r in enumerate(padded):
@@ -399,7 +431,8 @@ class ServingEngine:
                 tgt0 = np.zeros((B,) + t[i].shape, np.float32)
             tgt0[a] = t[i]
             rows = np.arange(a * T_obs, (a + 1) * T_obs)
-            scene_rows[rows] = r.scene_onehot
+            if not all_default and r.scene_onehot is not None:
+                scene_rows[rows] = r.scene_onehot
             obs_scene[a] = rows
             pred_lens[a] = r.pred_len
         return Batch(
@@ -436,7 +469,11 @@ class ServingEngine:
     def _resolver_loop(self):
         """Stage 2: block on device results, wake waiters."""
         K = self.cfg.beam_size
-        while not (self._stop.is_set() and self._inflight.empty()):
+        # keep serving while the batcher lives: it may still be inside
+        # a long _step dispatch (cold compile) and enqueue afterwards —
+        # exiting on a momentarily-empty queue would strand that batch
+        while not (self._stop.is_set() and self._inflight.empty()
+                   and not self._batcher.is_alive()):
             try:
                 reqs, out = self._inflight.get(timeout=0.1)
             except queue.Empty:
@@ -476,8 +513,9 @@ class ServingEngine:
         self.stats.record_batch(len(reqs), lats)
 
     def _fail(self, reqs: List[_Pending], exc: Exception):
+        # request-level count, comparable against stats["requests"]
         with self.stats._lock:
-            self.stats.errors += 1
+            self.stats.errors += len(reqs)
         for r in reqs:
             r.error = exc
             r.event.set()

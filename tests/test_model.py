@@ -176,6 +176,29 @@ def test_loss_gradients_flow(rng):
     assert sum(nonzero) >= len(flat) - 2  # scene convs may be tiny but not 0
 
 
+def test_remat_gradients_match(rng):
+    """cfg.remat recomputes the scan steps in the backward (capacity
+    feature for large-batch training) — gradients must be identical to
+    the stored-residual path."""
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch, _ = make_batch(rng, cfg, 2)
+    jb = _to_jax(batch)
+
+    def loss_fn(c):
+        def f(p):
+            out = model_forward(p, jb, c, is_train=True)
+            return compute_loss(p, jb, out, c)[0]
+        return f
+
+    v0, g0 = jax.value_and_grad(loss_fn(cfg))(params)
+    v1, g1 = jax.value_and_grad(loss_fn(cfg.replace(remat=True)))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_bf16_training_step_differentiable(rng):
     """Gradients must flow through the full bf16 compute path (bf16
     conv outputs have no transpose rule when f32-preferred)."""

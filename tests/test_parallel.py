@@ -125,6 +125,19 @@ def test_sharded_train_step_matches_single_device(model_parallel):
     assert step._cache_size() == 1
 
 
+def test_multidevice_steps_disable_pallas():
+    # pallas_call has no GSPMD partitioning rule: sharded multi-device
+    # steps must fall back to the jnp paths, single-device keeps kernels
+    from multiverse_tpu.parallel.mesh import _no_pallas_if_multidevice
+
+    cfg = tiny_cfg()
+    assert cfg.allow_pallas
+    assert not _no_pallas_if_multidevice(
+        cfg, make_mesh(n_devices=8)).allow_pallas
+    assert _no_pallas_if_multidevice(
+        cfg, make_mesh(n_devices=1)).allow_pallas
+
+
 def test_sharded_beam_step_runs():
     cfg = tiny_cfg(use_beam_search=True, beam_size=4, diverse_beam=True,
                    diverse_gamma=0.01)
