@@ -200,3 +200,38 @@ def test_ops_keep_schema_replayable(ed):
         n_cmds += len(plan_frame(frame, moment["ped_controls"],
                                  moment["vehicle_controls"], state))
     assert n_cmds > 0
+
+
+def test_mixed_frame_key_spellings_delete_correct_record():
+    """Control dicts from hand-edited JSON can hold both "12" and
+    "12.0" keys; `q` must delete from the list the record lives in."""
+    m = _moment()
+    # selected actor's last record moves under the "24.0" spelling
+    # while another actor occupies plain "24"
+    m["ped_controls"]["24.0"] = m["ped_controls"].pop("24")
+    m["ped_controls"]["24"] = [_rec(2, 24, [5, 7, 0.5])]
+    ed = MomentEditor([m], fps=30.0)
+    ed.selected = ("person", 1.0)
+    assert ed.delete_last_timestep() == 24
+    # person 1's record is gone, person 2's untouched
+    assert all(float(r[0]) != 1.0
+               for r in m["ped_controls"].get("24.0", []))
+    assert [float(r[0]) for r in m["ped_controls"]["24"]] == [2.0]
+
+
+def test_fractional_pid_x_agent_keys_do_not_collide():
+    """pids 1.0 and 1.5 must map to distinct x_agents entries."""
+    m = _moment()
+    m["ped_controls"]["0"].append(_rec(1.5, 0, [7, 7, 0.5]))
+    ed = MomentEditor([m], fps=30.0)
+    ed.selected = ("person", 1.5)
+    key = ed.set_x_agent()
+    assert key == "1.5"
+    assert "1.5" in m["x_agents"] and m["x_agents"]["1"] == [[2.0, 0.0, 0.5]]
+    # deleting actor 1.5 removes only its own entry
+    ed.delete_selected_actor()
+    assert "1.5" not in m["x_agents"]
+    assert m["x_agents"]["1"] == [[2.0, 0.0, 0.5]]
+    # integral pid reuses the existing "1" spelling
+    ed.selected = ("person", 1.0)
+    assert ed.set_x_agent() == "1"
