@@ -111,10 +111,11 @@ class MultiverseConfig:
 
     # Use the Pallas TPU kernels (fused decode step, dense GNN
     # attention) where available.  pallas_call lowers to an opaque
-    # custom call with no GSPMD partitioning rule, so the sharded step
-    # builders (parallel/mesh.py) and the mesh serving engine clear
-    # this automatically on multi-device meshes — the jnp paths
-    # partition cleanly; single-chip execution keeps the kernels.
+    # custom call with no GSPMD partitioning rule: multi-device
+    # INFERENCE goes through shard_map (parallel/mesh.py
+    # shard_map_infer — each chip runs the kernels on its batch
+    # slice), while the multi-device TRAIN step stays on GSPMD for its
+    # free gradient all-reduce and clears this flag automatically.
     allow_pallas: bool = True
 
     # ------------------------------------------------------------------

@@ -176,10 +176,12 @@ def _no_pallas_if_multidevice(
     cfg: MultiverseConfig, mesh: Mesh
 ) -> MultiverseConfig:
     """Pallas kernels lower to opaque custom calls with no GSPMD
-    partitioning rule — inside a multi-device-sharded jit they would be
-    replicated with all-gathers (or fail to lower) instead of running
-    data-parallel.  The jnp paths partition cleanly, so sharded steps
-    clear cfg.allow_pallas; single-device meshes keep the kernels."""
+    partitioning rule — inside a multi-device GSPMD-sharded jit they
+    would be replicated with all-gathers (or fail to lower) instead of
+    running data-parallel.  The TRAIN step stays on GSPMD (its gradient
+    all-reduce comes free from the sharding annotations) and clears
+    cfg.allow_pallas; the inference steps instead go through
+    :func:`shard_map_infer`, which keeps the kernels."""
     if mesh.size > 1 and cfg.allow_pallas:
         return cfg.replace(allow_pallas=False)
     return cfg
@@ -217,13 +219,41 @@ def make_sharded_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_sharded_eval_step(cfg: MultiverseConfig, mesh: Mesh):
-    """Greedy-decode inference step, batch sharded over "data"."""
-    cfg = _no_pallas_if_multidevice(cfg, mesh)
+def shard_map_infer(fn: Callable, mesh: Mesh, batch: Batch):
+    """Wrap an inference function (params, Batch) -> pytree in
+    jax.shard_map over the "data" axis: every chip runs the FULL local
+    computation on its batch slice with replicated params — the
+    SPMD-manual pattern Pallas supports, so multi-device inference
+    keeps the fused kernels that GSPMD's auto-partitioner cannot
+    partition (pallas_call is an opaque custom call to it).  The scene
+    table stays replicated (examples index into it globally); every
+    output leaf has the batch axis leading."""
+    from jax.experimental.shard_map import shard_map
 
-    def step(params, batch: Batch):
+    # check_rep off: replicated params feed scans whose carries become
+    # device-varying (zero init states) — the varying-axis checker
+    # rejects that mix even though the math is batch-local and correct
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), batch_pspec(batch)),
+        out_specs=P("data"),
+        check_rep=False)
+
+
+def make_sharded_eval_step(cfg: MultiverseConfig, mesh: Mesh):
+    """Greedy-decode inference step, batch sharded over "data" —
+    via :func:`shard_map_infer` on multi-device meshes so the fused
+    decode kernel rides along per chip."""
+
+    def local(params, batch: Batch):
         out = model_forward(params, batch, cfg, is_train=False)
         return out.class_logits, out.reg_out
+
+    if mesh.size == 1:
+        return jax.jit(local)
+
+    def step(params, batch: Batch):
+        return shard_map_infer(local, mesh, batch)(params, batch)
 
     return jax.jit(step)
 
@@ -238,14 +268,21 @@ def make_sharded_beam_step(
     The reference decodes one trajectory per sess.run at batch size 1
     (reference: code/multifuture_inference.py:460-472); here N
     trajectories decode at once across the mesh and K beams stay
-    chip-local inside the folded batch axis.
+    chip-local inside the folded batch axis.  Multi-device meshes run
+    through :func:`shard_map_infer`, so each chip executes the fused
+    Pallas decode kernel on its slice.
     """
     T = T_pred or cfg.pred_len
-    cfg = _no_pallas_if_multidevice(cfg, mesh)
 
-    def step(params, batch: Batch):
+    def local(params, batch: Batch):
         from multiverse_tpu.inference import beam_forward
         return beam_forward(params, batch, cfg, T_pred=T)
+
+    if mesh.size == 1:
+        return jax.jit(local)
+
+    def step(params, batch: Batch):
+        return shard_map_infer(local, mesh, batch)(params, batch)
 
     return jax.jit(step)
 

@@ -156,15 +156,12 @@ class ServingEngine:
         self._mesh = mesh
         if mesh is not None:
             from multiverse_tpu.parallel import replicate
-            from multiverse_tpu.parallel.mesh import (
-                _no_pallas_if_multidevice)
 
             dp = mesh.shape["data"]
             if self.max_batch % dp != 0:
                 raise ValueError(
                     f"max_batch {self.max_batch} not divisible by the "
                     f"mesh data axis ({dp})")
-            self.cfg = _no_pallas_if_multidevice(self.cfg, mesh)
             self._params = replicate(mesh, params)
         else:
             self._params = jax.device_put(params)
@@ -206,7 +203,19 @@ class ServingEngine:
             trajs = centers_j[sel] + off                # [B, T, 2]
             return trajs.astype(jnp.float32)
 
-        self._step = jax.jit(greedy_step if self.greedy else beam_step)
+        local_step = greedy_step if self.greedy else beam_step
+        if mesh is not None and mesh.size > 1:
+            # per-chip SPMD via shard_map: the batch slice decodes with
+            # the full fused-kernel path on every chip (GSPMD cannot
+            # partition pallas_call)
+            from multiverse_tpu.parallel.mesh import shard_map_infer
+
+            def sharded_step(p, b):
+                return shard_map_infer(local_step, mesh, b)(p, b)
+
+            self._step = jax.jit(sharded_step)
+        else:
+            self._step = jax.jit(local_step)
 
         # device-resident all-background scene table for the common
         # case where no request attaches a scene: rebuilding + uploading

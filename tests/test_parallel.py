@@ -138,6 +138,47 @@ def test_multidevice_steps_disable_pallas():
         cfg, make_mesh(n_devices=1)).allow_pallas
 
 
+def test_sharded_beam_step_keeps_fused_kernels(monkeypatch):
+    """Multi-device inference goes through shard_map, so the fused
+    pallas decode kernel runs on every chip's batch slice — outputs
+    must equal the single-device fused path exactly (same per-sample
+    kernel math; GSPMD alone cannot partition pallas_call)."""
+    from multiverse_tpu.inference import beam_forward
+    from multiverse_tpu.ops import pallas_decode
+    from multiverse_tpu.parallel import make_sharded_beam_step
+
+    monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
+    cfg = tiny_cfg(use_beam_search=True, beam_size=4, diverse_beam=True,
+                   diverse_gamma=0.01, use_gnn=True, use_scene_enc=True,
+                   compute_dtype="bfloat16")
+    n = 8
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch = tiny_batch(cfg, n)._replace(
+        pred_grid_class=None, pred_grid_target_all=None,
+        pred_length=np.full(n, cfg.pred_len, np.int32))
+
+    mesh = make_mesh(n_devices=8)
+    step = make_sharded_beam_step(cfg, mesh)
+    with mesh:
+        beam_m, reg_m = step(params, shard_batch(mesh, batch))
+
+    jb = jax.tree.map(lambda x: None if x is None else jnp.asarray(x),
+                      batch, is_leaf=lambda x: x is None)
+    beam_1, reg_1 = jax.jit(lambda p, b: beam_forward(p, b, cfg))(
+        params, jb)
+    # the decode kernel is per-sample (bitwise across batchings), but
+    # the bf16 encoder convs accumulate in a batch-size-dependent order
+    # — beam ids stay identical, scores agree to bf16 precision
+    np.testing.assert_array_equal(np.asarray(beam_m.ids),
+                                  np.asarray(beam_1.ids))
+    np.testing.assert_allclose(np.asarray(beam_m.logprobs),
+                               np.asarray(beam_1.logprobs),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(reg_m, np.float32), np.asarray(reg_1, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
 def test_sharded_beam_step_runs():
     cfg = tiny_cfg(use_beam_search=True, beam_size=4, diverse_beam=True,
                    diverse_gamma=0.01)
