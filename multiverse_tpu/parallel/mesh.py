@@ -194,11 +194,19 @@ def make_sharded_train_step(
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, dict]]:
     """DP(+optional TP) training step jitted over the mesh.
 
-    Shardings propagate from the argument placement (use
-    :func:`place_train_state` / :func:`shard_batch`); the per-example
-    loss mean makes XLA emit the gradient all-reduce over "data" on its
-    own — no hand-written collectives.
+    Pure-DP multi-device meshes run as explicit SPMD via
+    :func:`shard_map` (see :func:`_make_shardmap_train_step`) so the
+    pallas GNN kernel + its custom-VJP backward ride along per chip.
+    TP meshes — and the masked-regression loss, whose per-shard
+    normalizer would make mean-of-shard-means ≠ the global mean — use
+    the GSPMD path: shardings propagate from the argument placement
+    (:func:`init_sharded_train_state` / :func:`shard_batch`) and the
+    per-example loss mean makes XLA emit the gradient all-reduce over
+    "data" on its own — no hand-written collectives.
     """
+    if (mesh.size > 1 and mesh.shape["model"] == 1
+            and cfg.allow_pallas and not cfg.mask_grid_regression):
+        return _make_shardmap_train_step(cfg, tx, mesh)
 
     cfg = _no_pallas_if_multidevice(cfg, mesh)
 
@@ -238,6 +246,48 @@ def shard_map_infer(fn: Callable, mesh: Mesh, batch: Batch):
         in_specs=(P(), batch_pspec(batch)),
         out_specs=P("data"),
         check_rep=False)
+
+
+def _make_shardmap_train_step(
+    cfg: MultiverseConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, dict]]:
+    """Pure-DP train step as explicit SPMD (shard_map + psum).
+
+    Each chip computes gradients on its batch shard with the FULL
+    kernel path — on TPU the GNN attention runs its fused pallas
+    forward/backward per chip, which GSPMD's auto-partitioner cannot
+    do (pallas_call is opaque to it).  Gradients and loss parts are
+    pmean-averaged over "data" (exact: every loss term is a plain mean
+    and shards are equal-sized by construction), then the optimizer
+    update runs identically on every chip, keeping state replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def loss_fn(params, batch):
+        out = model_forward(params, batch, cfg, is_train=True)
+        total, parts = compute_loss(params, batch, out, cfg)
+        return total, parts
+
+    def local_step(state: TrainState, batch: Batch):
+        (total, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        grads = jax.lax.pmean(grads, "data")
+        parts = jax.lax.pmean(dict(parts, total=total), "data")
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, new_params, new_opt), parts
+
+    def step(state: TrainState, batch: Batch):
+        fn = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), batch_pspec(batch)),
+            out_specs=(P(), P()),
+            check_rep=False)
+        return fn(state, batch)
+
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def make_sharded_eval_step(cfg: MultiverseConfig, mesh: Mesh):
