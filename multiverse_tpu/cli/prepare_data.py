@@ -74,6 +74,41 @@ def prepare_sdd_main(argv=None) -> None:
             len(counts), min(counts), max(counts), np.mean(counts)))
 
 
+def prepare_argoverse_main(argv=None) -> None:
+    """Argoverse tracking logs -> trajectory TSVs + box pickles
+    (reference: SimAug/code/get_prepared_data_argoverse.py __main__:
+    one log directory per "video", ring_front_center camera)."""
+    from glob import glob
+
+    from multiverse_tpu.data.argoverse import prepare_argoverse_log
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("datapath",
+                        help="dir of Argoverse log dirs, each with "
+                             "per_sweep_annotations_amodal/*.json + "
+                             "vehicle_calibration_info.json")
+    parser.add_argument("outpath")
+    parser.add_argument("--split", default="test")
+    args = parser.parse_args(argv)
+    total = 0
+    for log_dir in sorted(glob(os.path.join(args.datapath, "*"))):
+        if not os.path.isdir(log_dir):
+            continue
+        labels = sorted(glob(os.path.join(
+            log_dir, "per_sweep_annotations_amodal", "*.json")))
+        cal = os.path.join(log_dir, "vehicle_calibration_info.json")
+        if not labels or not os.path.exists(cal):
+            continue
+        video_id = os.path.basename(log_dir.rstrip("/"))
+        n = prepare_argoverse_log(
+            labels, cal, video_id, args.outpath, split=args.split)
+        if n == 0:
+            print("warning: %s has too few pedestrian frames, "
+                  "skipped" % video_id)
+        total += n
+    print("wrote %d trajectory rows" % total)
+
+
 def extract_scene_seg_main(argv=None) -> None:
     from multiverse_tpu.data.scene_extract import (
         make_segformer_segmenter,

@@ -141,17 +141,36 @@ def cuboid_to_2d_box(label: dict,
                         camera.img_width, camera.img_height)
 
 
+# CARLA/ADE-style class ids for the "other box" features
+# (reference: get_prepared_data_argoverse.py:19-38; classes the
+# reference comments out are likewise excluded)
+CLASS2CLASSID = {
+    "VEHICLE": 1,
+    "PEDESTRIAN": 0,
+    "ON_ROAD_OBSTACLE": 3,
+    "LARGE_VEHICLE": 1,
+    "BICYCLE": 8,
+    "BICYCLIST": 8,
+    "BUS": 1,
+    "OTHER_MOVER": 3,
+    "TRAILER": 1,
+    "MOTORCYCLIST": 8,
+    "MOPED": 8,
+    "MOTORCYCLE": 8,
+    "EMERGENCY_VEHICLE": 1,
+    "SCHOOL_BUS": 1,
+}
+
+
 def crop_box_to_1080(bbox: List[float],
-                     clip_height: float = CLIP_HEIGHT) -> Optional[List[float]]:
-    """1920×1200 frame cropped vertically (centered) to 1920×1080
-    (reference: main loop `clip_height`)."""
+                     clip_height: float = CLIP_HEIGHT) -> List[float]:
+    """Box shifted for the 1920×1200 frame losing its TOP `clip_height`
+    rows (the reference crops `im[120:, :]`): y -= 120 with negatives
+    clamped to 0, no other rejection
+    (reference: get_prepared_data_argoverse.py:233-239 `clip_box`)."""
     x1, y1, x2, y2 = bbox
-    y1 -= clip_height / 2.0
-    y2 -= clip_height / 2.0
-    y1 = max(y1, 0.0)
-    y2 = min(y2, IMG_HEIGHT - CLIP_HEIGHT)
-    if y2 <= y1:
-        return None
+    y1 = max(y1 - clip_height, 0.0)
+    y2 = max(y2 - clip_height, 0.0)
     return [x1, y1, x2, y2]
 
 
@@ -160,45 +179,92 @@ def prepare_argoverse_log(
     calibration_file: str,
     video_id: str,
     out_path: str,
-    split: str,
+    split: str = "test",
     drop_frame: int = DROP_FRAME,
+    min_frames: int = 8 + 12,
 ) -> int:
-    """One log → trajectory TSV + person-box pickle (bottom-center of
-    the cropped box).  Returns the number of rows written."""
+    """One log → trajectory TSV + person/other-box pickles.
+
+    Faithful to the reference main loop
+    (reference: get_prepared_data_argoverse.py:243-389): fully-occluded
+    labels are skipped (occlusion == 100), track uuids map to ids in
+    FIRST-SEEN order (deterministic across runs), frames are the sorted
+    pedestrian-bearing label frames subsampled by ``drop_frame`` (logs
+    with fewer than ``min_frames`` such frames are skipped entirely),
+    the trajectory point is the CENTER of the top-cropped box with
+    points outside the 1920×1080 target resolution dropped, and the
+    box pickles use the reference's ``video_frame_track`` keys (other
+    boxes carry :data:`CLASS2CLASSID` class ids).
+    Returns the number of trajectory rows written (0 = skipped).
+    """
     import pickle
 
     with open(calibration_file) as f:
         camera = ArgoverseCamera.from_calibration(json.load(f))
 
-    traj_path = os.path.join(out_path, "traj_2.5fps", split)
-    person_path = os.path.join(out_path, "anno_person_box", split)
-    os.makedirs(traj_path, exist_ok=True)
-    os.makedirs(person_path, exist_ok=True)
-
-    rows, person_boxes = [], {}
-    for frame_idx, label_file in enumerate(
-            sorted(label_files)[::drop_frame]):
+    # pass 1: all labels -> (track_id, cropped box, frame, class)
+    trackid_mapping: dict = {}
+    anno_data = []
+    for frame_idx, label_file in enumerate(sorted(label_files)):
         with open(label_file) as f:
             labels = json.load(f)
         for label in labels:
-            if label.get("label_class") != "PEDESTRIAN":
+            classname = label.get("label_class")
+            uuid = label.get("track_label_uuid", "0")
+            if uuid not in trackid_mapping:
+                trackid_mapping[uuid] = len(trackid_mapping)
+            if label.get("occlusion", 0) == 100:
                 continue
             bbox = cuboid_to_2d_box(label, camera)
-            if bbox is None:
+            if bbox is None:  # behind the camera
                 continue
-            bbox = crop_box_to_1080(bbox)
-            if bbox is None:
-                continue
-            tid = abs(hash(label.get("track_label_uuid", "0"))) % 10 ** 8
-            x = (bbox[0] + bbox[2]) / 2.0
-            y = bbox[3]
-            rows.append((frame_idx * drop_frame, float(tid), x, y))
-            person_boxes["%d_%d" % (frame_idx * drop_frame, tid)] = bbox
+            anno_data.append((trackid_mapping[uuid],
+                              crop_box_to_1080(bbox),
+                              frame_idx, classname))
 
+    # pass 2: every drop_frame-th pedestrian-bearing frame
+    ped_frames = sorted({f for _, _, f, c in anno_data
+                         if c == "PEDESTRIAN"})
+    needed = ped_frames[::drop_frame]
+    if len(needed) < min_frames:  # not enough for one obs+pred window
+        return 0
+    frame_data: dict = {}
+    for tid, bbox, frame_idx, classname in anno_data:
+        if frame_idx not in needed or classname not in CLASS2CLASSID:
+            continue
+        frame_data.setdefault(frame_idx, []).append(
+            (tid, bbox, classname))
+
+    rows, person_boxes, other_boxes = [], {}, {}
+    for frame_idx in needed:
+        box_list = sorted(frame_data.get(frame_idx, []))
+        for i, (tid, bbox, classname) in enumerate(box_list):
+            if classname != "PEDESTRIAN":
+                continue
+            x = (bbox[0] + bbox[2]) / 2.0
+            y = (bbox[1] + bbox[3]) / 2.0
+            if x > IMG_WIDTH or y > IMG_HEIGHT - CLIP_HEIGHT:
+                continue
+            key = "%s_%d_%d" % (video_id, frame_idx, tid)
+            rows.append((frame_idx, float(tid), x, y))
+            person_boxes[key] = bbox
+            other_boxes[key] = (
+                [b for j, (_, b, _) in enumerate(box_list) if j != i],
+                [CLASS2CLASSID[c]
+                 for j, (_, _, c) in enumerate(box_list) if j != i])
+
+    traj_path = os.path.join(out_path, "traj_2.5fps", split)
+    person_path = os.path.join(out_path, "anno_person_box", split)
+    other_path = os.path.join(out_path, "anno_other_box", split)
+    for d in (traj_path, person_path, other_path):
+        os.makedirs(d, exist_ok=True)
     with open(os.path.join(traj_path, "%s.txt" % video_id), "w") as f:
         for fi, p, x, y in rows:
             f.write("%d\t%.1f\t%.6f\t%.6f\n" % (fi, p, x, y))
     with open(os.path.join(
             person_path, "%s.p" % video_id), "wb") as f:
         pickle.dump(person_boxes, f)
+    with open(os.path.join(
+            other_path, "%s.p" % video_id), "wb") as f:
+        pickle.dump(other_boxes, f)
     return len(rows)

@@ -1,5 +1,6 @@
 """SDD / scene-seg-extraction / Argoverse preparation modules."""
 
+import json
 import os
 
 import numpy as np
@@ -164,6 +165,86 @@ def test_cuboid_to_2d_box_front():
 
 
 def test_crop_box_to_1080():
-    assert crop_box_to_1080([0.0, 60.0, 100.0, 1200.0]) == \
-        [0.0, 0.0, 100.0, 1080.0]
-    assert crop_box_to_1080([0.0, 0.0, 100.0, 50.0]) is None
+    # reference clip_box: shift up by the cropped TOP 120 rows, clamp
+    # negatives to 0, never reject (get_prepared_data_argoverse.py:233)
+    assert crop_box_to_1080([0.0, 200.0, 100.0, 1200.0]) == \
+        [0.0, 80.0, 100.0, 1080.0]
+    assert crop_box_to_1080([0.0, 0.0, 100.0, 50.0]) == \
+        [0.0, 0.0, 100.0, 0.0]
+
+
+def test_prepare_argoverse_log(tmp_path):
+    """End-to-end: labels+calibration -> TSV + box pickles, matching
+    the reference's first-seen ids, center points, and key format."""
+    import pickle
+
+    from multiverse_tpu.data.argoverse import prepare_argoverse_log
+
+    cal = {
+        "camera_data_": [{
+            "key": "image_raw_ring_front_center",
+            "value": {
+                "vehicle_SE3_camera_": {
+                    "translation": [0.0, 0.0, 0.0],
+                    # camera looking along ego +x:
+                    # cam = R^T (p - t) with R = cam->ego
+                    "rotation": {"coefficients": [0.5, -0.5, 0.5, -0.5]},
+                },
+                "focal_length_x_px_": 1000.0, "skew_": 0.0,
+                "focal_center_x_px_": 960.0,
+                "focal_length_y_px_": 1000.0,
+                "focal_center_y_px_": 600.0,
+            },
+        }],
+    }
+    cal_file = tmp_path / "cal.json"
+    cal_file.write_text(json.dumps(cal))
+
+    def ped(uuid, x, y, occ=0):
+        return {
+            "label_class": "PEDESTRIAN", "track_label_uuid": uuid,
+            "occlusion": occ,
+            "center": {"x": x, "y": y, "z": 0.0},
+            "rotation": {"w": 1.0, "x": 0.0, "y": 0.0, "z": 0.0},
+            "length": 0.5, "width": 0.5, "height": 1.8,
+        }
+
+    label_dir = tmp_path / "labels"
+    label_dir.mkdir()
+    files = []
+    n_frames = 12 * 21  # 21 pedestrian frames after ::12
+    for f in range(n_frames):
+        labels = [ped("uuid-b", 20.0, 1.0),
+                  ped("uuid-a", 20.0, -1.0),
+                  ped("uuid-occluded", 20.0, 0.0, occ=100)]
+        p = label_dir / ("label_%05d.json" % f)
+        p.write_text(json.dumps(labels))
+        files.append(str(p))
+
+    n = prepare_argoverse_log(files, str(cal_file), "log1",
+                              str(tmp_path / "out"), split="test")
+    assert n == 21 * 2  # 2 visible pedestrians per kept frame
+
+    rows = [l.split("\t") for l in
+            (tmp_path / "out/traj_2.5fps/test/log1.txt")
+            .read_text().splitlines()]
+    # first-seen order: uuid-b (listed first in frame 0) gets id 0
+    pids = sorted({float(r[1]) for r in rows})
+    assert pids == [0.0, 1.0]
+    # frames are the ::12 subsample of pedestrian frames
+    assert sorted({int(r[0]) for r in rows})[:3] == [0, 12, 24]
+    with open(tmp_path / "out/anno_person_box/test/log1.p", "rb") as f:
+        boxes = pickle.load(f)
+    assert "log1_0_0" in boxes
+    with open(tmp_path / "out/anno_other_box/test/log1.p", "rb") as f:
+        others = pickle.load(f)
+    # the other visible pedestrian appears as the one other box
+    obs, cids = others["log1_0_0"]
+    assert len(obs) == 1 and cids == [0]
+    # trajectory point = center of the top-cropped box
+    x, y = float(rows[0][2]), float(rows[0][3])
+    assert 0 <= x <= 1920 and 0 <= y <= 1080
+    # a log with too few pedestrian frames is skipped entirely
+    n2 = prepare_argoverse_log(files[:12 * 5], str(cal_file), "log2",
+                               str(tmp_path / "out"), split="test")
+    assert n2 == 0
