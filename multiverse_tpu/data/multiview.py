@@ -133,34 +133,30 @@ class MultiviewDataset:
 
         obs_scene = self._obs_scene[idxs]                    # [n, T]
         scene_extra = self.extras.obs_scene_extra[idxs]      # [n, M, T]
-        # one remap covering own + extra views; fixed-size table so
-        # every step compiles once
+        # one remap covering own + extra views, through the native
+        # packer (same as the base dataset — the Python dict loop this
+        # replaces stalled the feed thread); fixed-size table so every
+        # step compiles once
+        from multiverse_tpu import native
+
         cap = n * T_obs * (M + 1)
         rows = self.base.shared["scene_feat"]
         cap = min(cap, max(len(rows), 1))
-        old2new: dict = {}
-        local_obs = np.zeros_like(obs_scene)
-        local_extra = np.zeros_like(scene_extra)
-        for flat_g, flat_l in (
-                (obs_scene.reshape(-1), local_obs.reshape(-1)),
-                (scene_extra.reshape(-1), local_extra.reshape(-1))):
-            for a, g in enumerate(flat_g):
-                g = int(g)
-                if g not in old2new:
-                    old2new[g] = len(old2new)
-                flat_l[a] = old2new[g]
-        if len(old2new) > cap:
-            raise ValueError("scene table overflow")
-        table = np.zeros((cap,) + rows.shape[1:], dtype=rows.dtype)
-        for old, new in old2new.items():
-            table[new] = rows[old]
+        both = np.concatenate(
+            [obs_scene.reshape(-1), scene_extra.reshape(-1)])
+        remapped, old_rows, _ = native.remap_first_seen(
+            both.astype(np.int32), cap, max_id=len(rows) - 1)
+        local_obs = remapped[:obs_scene.size].reshape(obs_scene.shape)
+        local_extra = remapped[obs_scene.size:].reshape(scene_extra.shape)
+        table = native.gather_rows(rows, old_rows, cap)
 
         batch = self._mvb(
             obs_grid_class=d["obs_grid_class"][idxs].astype(np.int32),
             obs_grid_target=d[
                 "obs_grid_target_all_%d" % i][idxs].astype(np.float32),
             obs_scene=local_obs,
-            scene_feat=table.astype(np.float32),
+            # uint8 ships 4x fewer bytes; the tower casts on device
+            scene_feat=table,
             pred_grid_class=d["pred_grid_class"][idxs].astype(np.int32),
             pred_grid_target=d[
                 "pred_grid_target_all_%d" % i][idxs].astype(np.float32),

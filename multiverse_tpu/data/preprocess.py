@@ -296,7 +296,6 @@ def preprocess_split(
                     if opts.add_all_reg:
                         grid_target_all[i].append(
                             allt.astype(np.float32))
-                    yy, xx = np.divmod(cells, w)
                     gtgt[:, i] = np.take_along_axis(
                         allt.reshape(K, seq_len, h * w, 2),
                         cells[..., None, None], axis=2

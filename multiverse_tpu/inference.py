@@ -359,14 +359,26 @@ def make_batch(
 ) -> Batch:
     """Slice a static-shape Batch for the given trajectory indices.
 
-    The scene table ships whole: Forking Paths inference reuses frames
-    heavily and the uint8 table is small (F × 36 × 64 × 11)."""
+    The scene table is gathered per batch: only the ≤ n·T_obs rows the
+    batch references ship to the device (a full Forking Paths run's
+    table is ~150 MB of per-trajectory frames — re-feeding all of it
+    each step would dominate wall-clock on the slow host→device link),
+    remapped to first-seen order by the native packer and zero-padded
+    to a FIXED n·T_obs rows so the jitted step compiles once."""
+    from multiverse_tpu import native
+
     scale0 = cfg.active_scales[0]
+    obs_scene_old = inputs.obs_scene[idxs]
+    cap = int(obs_scene_old.size)
+    new_idx, old_rows, _ = native.remap_first_seen(
+        obs_scene_old.astype(np.int32), cap,
+        max_id=len(inputs.scene_feat) - 1)
+    table = native.gather_rows(inputs.scene_feat, old_rows, cap)
     return Batch(
         obs_grid_class=inputs.obs_grid_class[idxs],
         obs_grid_target_all=(inputs.obs_grid_target[scale0][idxs],),
-        obs_scene=inputs.obs_scene[idxs],
-        scene_feat=inputs.scene_feat,
+        obs_scene=new_idx,
+        scene_feat=table,
         pred_length=inputs.pred_lengths[idxs],
     )
 
@@ -419,7 +431,9 @@ def run_multifuture_inference(
 
         for a, n in enumerate(idxs):
             traj_id = inputs.traj_ids[n]
-            pred_len = int(inputs.pred_lengths[n])
+            # a caller-supplied T_max below the longest GT future
+            # truncates those trajectories instead of mis-reshaping
+            pred_len = min(int(inputs.pred_lengths[n]), T)
             reg = reg_out[a, :pred_len].reshape(pred_len, h * w, 2)
             if greedy:
                 sel = np.asarray(class_logits)[a, :pred_len].reshape(

@@ -68,7 +68,11 @@ def evaluate(
         class_logits, reg_out = step_fn(batch)
         n = extras["original_batch_size"]
         beam = None
-        if beam_step_fn is not None:
+        if beam_step_fn is not None and out_data is not None:
+            # beam ids/logprobs only feed the output pickle
+            # (reference: code/pred_utils.py:379-394) — without
+            # --save_output the K-beam decode would be paid and thrown
+            # away on every eval batch
             beam = beam_step_fn(batch)
 
         for i in cfg.active_scales:
