@@ -38,7 +38,7 @@ from multiverse_tpu.train.checkpoints import (
     restore_params_from,
 )
 from multiverse_tpu.train.evaluate import evaluate
-from multiverse_tpu.train.trainer import build_optimizer, init_train_state
+from multiverse_tpu.train.trainer import init_train_state
 from multiverse_tpu.utils import MovingAverage, StepTimer
 
 
@@ -126,8 +126,9 @@ def main(argv=None) -> None:
     elif args.load or args.load_best:
         params = ckpt.restore_params(params, best=args.load_best)
 
-    tx = build_optimizer(cfg, train_data.num_examples)
-    state, _ = init_train_state(params, cfg, train_data.num_examples)
+    # one optimizer: the tx applying updates must be the one whose
+    # init produced state.opt_state
+    state, tx = init_train_state(params, cfg, train_data.num_examples)
     train_step = make_simaug_train_step(cfg, tx)
 
     mesh = make_mesh_for_batch(cfg.batch_size)

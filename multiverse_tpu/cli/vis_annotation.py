@@ -126,12 +126,34 @@ def extract_frames_seg_main(argv=None) -> None:
         frame_idxs = sorted({
             int(line.split("\t")[0]) + start
             for line in open(traj_file) if line.strip()})
-        rgb = os.path.join(args.video_path, "%s.mp4" % videoname)
-        seg = os.path.join(args.video_path, "%s_seg.mp4" % videoname)
-        if not os.path.exists(seg):
+        if args.is_multifuture:
+            # obs names have 4 fields (scene_moment_pid_camera) while
+            # rendered videos have 6 (…_destidx_annotator_camera) —
+            # join by glob like the reference
+            # (get_frames_and_scene_seg.py:134-137, 170-173)
+            s, m, pid, cam = videoname.split("_")
+            pattern = "%s_%s_%s_*_%s.mp4" % (s, m, pid, cam)
+            rgb_hits = sorted(glob(
+                os.path.join(args.video_path, pattern)))
+            rgb = rgb_hits[0] if rgb_hits else \
+                os.path.join(args.video_path, "%s.mp4" % videoname)
+            seg_hits = sorted(glob(os.path.join(
+                args.video_path,
+                "%s_%s_%s_*_%s_seg.mp4" % (s, m, pid, cam))))
+            if not seg_hits:
+                seg_hits = sorted(glob(os.path.join(
+                    os.path.dirname(args.video_path), "videos_seg",
+                    pattern)))
+            seg = seg_hits[0] if seg_hits else \
+                os.path.join(args.video_path, "%s_seg.mp4" % videoname)
+        else:
+            rgb = os.path.join(args.video_path, "%s.mp4" % videoname)
             seg = os.path.join(
-                os.path.dirname(args.video_path), "videos_seg",
-                "%s.mp4" % videoname)
+                args.video_path, "%s_seg.mp4" % videoname)
+            if not os.path.exists(seg):
+                seg = os.path.join(
+                    os.path.dirname(args.video_path), "videos_seg",
+                    "%s.mp4" % videoname)
         ok = extract_frames_and_seg(
             rgb, seg, frame_idxs,
             os.path.join(args.out_frame_path, videoname),
@@ -165,6 +187,11 @@ def plot_traj_carla_main(argv=None) -> None:
     parser.add_argument("--port", default=2000, type=int)
     parser.add_argument("--line_time", type=float, default=30.0)
     parser.add_argument("--save_carla_traj_file", default=None)
+    parser.add_argument("--is_actev", action="store_true",
+                        help="normalize against the calibrated ActEV "
+                             "world extents; without it (ETH/UCY) the "
+                             "trajectory's own minimum is the origin "
+                             "(reference: plot_traj_carla.py --is_actev)")
     args = parser.parse_args(argv)
 
     rows = np.asarray(
@@ -173,7 +200,7 @@ def plot_traj_carla_main(argv=None) -> None:
     videoname = os.path.splitext(
         os.path.basename(args.traj_world_file))[0]
     placed = world_to_carla(
-        rows, get_scene(videoname),
+        rows, get_scene(videoname) if args.is_actev else None,
         (args.origin_x, args.origin_y, args.origin_z),
         args.carla_rotation, scale=args.scale,
         world_rotate_deg=args.world_rotate)

@@ -98,12 +98,23 @@ def record_moments_main(argv=None) -> None:
         client.load_world(scene.map)
         rigs = registry.cameras[args.camera_group][moment["scenename"]]
         total = max(int(float(k)) for k in moment["ped_controls"]) + 1
-        x_agents = list(moment.get("x_agents", {}))
+        # the recorded moment is one (pid, destination, annotator)
+        # instance: its x-agent pid is encoded in the moment_id
+        # ("scene_momentidx_pid_destidx_annotator", reference:
+        # record_annotation.py:241-242), NOT the x_agents dict, which
+        # lists every annotated pid of the source moment
+        moment_id = moment["moment_id"]
+        parts = moment_id.split("_")
+        if len(parts) >= 5:
+            x_agent_pid = float(parts[2])
+        else:
+            x_agents = list(moment.get("x_agents", {}))
+            x_agent_pid = float(x_agents[0]) if x_agents else None
         outputs = record_moment(
             client, scene, rigs,
             moment["ped_controls"], moment["vehicle_controls"],
-            total, args.out_path, moment["moment_id"],
-            x_agent_pid=float(x_agents[0]) if x_agents else None)
+            total, args.out_path, moment_id,
+            x_agent_pid=x_agent_pid)
         print("recorded %s -> %s" % (moment["moment_id"],
                                      sorted(outputs)))
 

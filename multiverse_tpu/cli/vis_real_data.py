@@ -44,19 +44,27 @@ def plot_arrow_trajs(img, trajs, color, show_person_id=False):
     return img
 
 
-def world_canvas(trajs, h, w, margin=40):
-    """Normalize world trajectories onto an [h, w] canvas."""
+def world_canvas(trajs, h, w, margin=40, extent=None):
+    """Normalize world trajectories onto an [h, w] canvas.
+
+    `extent` = (min, span) reuses another call's normalization, so a
+    subset overlay (the obs segments) lands on the same canvas points
+    as the full trajectories (the reference normalizes the whole world
+    file once, reference: visualize_real_data.py:151-161)."""
     import numpy as np
 
-    all_pts = np.concatenate([t for _, t in trajs]) if trajs else \
-        np.zeros((1, 2))
-    mn, mx = all_pts.min(0), all_pts.max(0)
-    span = np.maximum(mx - mn, 1e-6)
+    if extent is None:
+        all_pts = np.concatenate([t for _, t in trajs]) if trajs else \
+            np.zeros((1, 2))
+        mn, mx = all_pts.min(0), all_pts.max(0)
+        span = np.maximum(mx - mn, 1e-6)
+    else:
+        mn, span = extent
     scaled = []
     for pid, t in trajs:
         xy = (t - mn) / span * [w - 2 * margin, h - 2 * margin] + margin
         scaled.append((pid, xy))
-    return scaled
+    return scaled, (mn, span)
 
 
 def main(argv=None) -> None:
@@ -124,8 +132,9 @@ def main(argv=None) -> None:
                           math.radians(args.world_rotate))
 
     canvas = np.full((h, w, 3), 255, np.uint8)
-    full_w = world_canvas(select_trajs(world, seq), h, w)
-    obs_w = world_canvas(select_trajs(world, obs), h, w)
+    full_w, extent = world_canvas(select_trajs(world, seq), h, w)
+    obs_w, _ = world_canvas(select_trajs(world, obs), h, w,
+                            extent=extent)
     vis_world = plot_arrow_trajs(canvas, full_w, (0, 255, 0),
                                  show_person_id=True)
     vis_world = plot_arrow_trajs(vis_world, obs_w, (0, 255, 255))

@@ -142,12 +142,16 @@ def save_annotation(session: AnnotationSession, path: str) -> None:
 
 
 def check_collision_with_actor(history: list) -> bool:
-    """Only collisions with known tracked actors restart the attempt
+    """Only collisions with non-static actors restart the attempt
     (reference: annotate_carla.py:361-367 — collisions against
-    untagged scenery are ignored)."""
+    `static.*` scenery are ignored).  History entries carry either a
+    ("Person"/"Vehicle", track_id) tuple for tracked actors or the raw
+    CARLA type_id string."""
     for event in history:
         other = event[3] if len(event) > 3 else None
         if isinstance(other, tuple):
+            return True
+        if isinstance(other, str) and not other.startswith("static"):
             return True
     return False
 
@@ -160,11 +164,19 @@ def add_x_agent_destination(moment: dict, person_id: int,
     """Click-to-add destination for an agent (reference:
     moment_editor.py click handling + depth backprojection — the
     backprojection itself is camera.pixel_to_world)."""
+    from multiverse_tpu.forking_paths.editor import _pid_keys
+
     out = dict(moment)
     x_agents = {k: list(v) for k, v in out.get("x_agents", {}).items()}
-    key = person_id if person_id in x_agents else str(person_id)
-    if key not in x_agents and person_id not in x_agents:
-        x_agents[key] = []
+    # same key-spelling tolerance as the editor ("1" vs "1.0"), plus
+    # raw non-str keys from in-memory moments
+    key = None
+    for cand in (person_id,) + _pid_keys(float(person_id)):
+        if cand in x_agents:
+            key = cand
+            break
+    if key is None:
+        key = _pid_keys(float(person_id))[0]
     x_agents[key] = x_agents.get(key, []) + [list(dest_xyz)]
     out["x_agents"] = x_agents
     return out

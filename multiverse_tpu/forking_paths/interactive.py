@@ -34,6 +34,7 @@ import numpy as np
 
 from multiverse_tpu.forking_paths.annotation import (
     AnnotationSession,
+    check_collision_with_actor,
     save_annotation,
 )
 from multiverse_tpu.forking_paths.camera import (
@@ -123,7 +124,10 @@ def run_annotation_game(
             camera = world.spawn_actor(cam_bp, carla.Transform(
                 location=carla.Location(
                     rig.transform.x, rig.transform.y, rig.transform.z),
-                rotation=carla.Rotation(pitch=rig.transform.pitch)))
+                rotation=carla.Rotation(
+                    pitch=rig.transform.pitch,
+                    yaw=rig.transform.yaw,
+                    roll=rig.transform.roll)))
             frames: list = []
             camera.listen(frames.append)
             yaw = 0.0
@@ -166,9 +170,11 @@ def run_annotation_game(
                         loc = actor.get_location()
                         session.record(frame_id, direction, speed,
                                        [loc.x, loc.y, loc.z])
-                        collided = any(
-                            rec[1] in (float(x_pid), x_pid)
-                            for rec in adapter.collision_history)
+                        # scenery (static.*) grazes don't fail the
+                        # attempt (reference: annotate_carla.py:361-367)
+                        collided = check_collision_with_actor([
+                            rec for rec in adapter.collision_history
+                            if rec[1] in (float(x_pid), x_pid)])
                         result = session.step(
                             frame_id, [loc.x, loc.y, loc.z], collided)
                         if result != "continue":

@@ -77,6 +77,23 @@ def image_to_rgb(image) -> np.ndarray:
     return arr[:, :, 2::-1]  # BGRA -> RGB
 
 
+def seg_to_cityscapes(raw_rgb: np.ndarray) -> np.ndarray:
+    """Raw semantic-seg sensor frame → CityScapes palette colors.
+
+    CARLA's raw seg image stores the class id in the RED channel; the
+    reference saves seg videos through
+    carla.ColorConverter.CityScapesPalette
+    (reference: record_annotation.py:148-151), and the downstream
+    decoder (prepared_data.seg_rgb_to_carla_ids) matches palette
+    colors — raw frames would decode to all-background.  Ids outside
+    the 0.9.6 palette map to 0 (unlabeled)."""
+    from multiverse_tpu.forking_paths.prepared_data import CARLA_PALETTE
+
+    ids = raw_rgb[:, :, 0].astype(np.int32)
+    ids = np.where(ids < len(CARLA_PALETTE), ids, 0)
+    return CARLA_PALETTE[ids].astype(np.uint8)
+
+
 def actor_2d_boxes(adapter: CarlaAdapter,
                    rig: CameraRig) -> List[dict]:
     """All live actors' clipped 2D boxes in one camera
@@ -184,8 +201,8 @@ def record_moment(
             for k, rig in enumerate(rigs):
                 frames_rgb[k].append(
                     image_to_rgb(cam_queues[k].get(tick_frame)))
-                frames_seg[k].append(
-                    image_to_rgb(seg_queues[k].get(tick_frame)))
+                frames_seg[k].append(seg_to_cityscapes(
+                    image_to_rgb(seg_queues[k].get(tick_frame))))
                 for box in actor_2d_boxes(adapter, rig):
                     box = dict(box, frame_id=frame_id)
                     if x_agent_pid is not None \

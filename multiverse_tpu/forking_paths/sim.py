@@ -42,7 +42,12 @@ class SimCommand:
     xyz: Optional[Tuple[float, float, float]] = None
     direction: Optional[Tuple[float, float, float]] = None
     speed: float = 0.0
-    yaw: float = 0.0
+    # yaw=None on a vehicle's spawn-frame teleport: the real forward
+    # vector only exists after the adapter spawns the actor, so the
+    # executor computes the smoothed yaw then (reference computes spawn
+    # yaw post-spawn, utils.py:840-880)
+    yaw: Optional[float] = 0.0
+    max_yaw_change: float = 60.0
 
 
 @dataclasses.dataclass
@@ -128,11 +133,18 @@ def plan_frame(
         if is_static:
             continue
         if vid not in state.veh_init_forward:
-            # adapter fills the real forward vector at spawn; assume +x
-            state.note_vehicle(vid, (1.0, 0.0))
-        yaw = smoothed_yaw(state, vid, direction, max_yaw_change)
-        cmds.append(SimCommand(
-            "vehicle_teleport", vid, xyz=tuple(xyz), yaw=yaw))
+            # spawn frame: defer the yaw — the executor computes it
+            # against the actor's REAL forward vector after spawning
+            # (a placeholder here would poison veh_prev_yaw and the
+            # clamp would keep the wrong heading for the whole moment)
+            cmds.append(SimCommand(
+                "vehicle_teleport", vid, xyz=tuple(xyz), yaw=None,
+                direction=tuple(direction),
+                max_yaw_change=max_yaw_change))
+        else:
+            yaw = smoothed_yaw(state, vid, direction, max_yaw_change)
+            cmds.append(SimCommand(
+                "vehicle_teleport", vid, xyz=tuple(xyz), yaw=yaw))
     return cmds
 
 
@@ -250,12 +262,19 @@ class CarlaAdapter:
             elif cmd.kind == "vehicle_teleport":
                 if cmd.actor_id not in self.actors:
                     continue
+                yaw = cmd.yaw
+                if yaw is None:
+                    # spawn-frame teleport: the planner deferred the
+                    # yaw until the real forward vector existed
+                    yaw = smoothed_yaw(state, cmd.actor_id,
+                                       cmd.direction,
+                                       cmd.max_yaw_change)
                 batch.append(carla.command.ApplyTransform(
                     self.actors[cmd.actor_id],
                     carla.Transform(
                         location=carla.Location(*cmd.xyz),
                         rotation=carla.Rotation(
-                            roll=0, pitch=0, yaw=cmd.yaw))))
+                            roll=0, pitch=0, yaw=yaw))))
         if batch:
             self.client.apply_batch_sync(batch)
         return batch

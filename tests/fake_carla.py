@@ -75,13 +75,18 @@ _ids = itertools.count(1)
 
 
 class Image:
-    """Fake sensor frame: solid-value BGRA buffer."""
+    """Fake sensor frame: solid-value BGRA buffer.
 
-    def __init__(self, frame, width, height, value=7):
+    `bgra` overrides the per-channel bytes — semantic-seg sensors use
+    it to model CARLA's raw seg format (class id in the RED channel,
+    zeros elsewhere)."""
+
+    def __init__(self, frame, width, height, value=7, bgra=None):
         self.frame = frame
         self.width = width
         self.height = height
-        self.raw_data = bytes([value]) * (width * height * 4)
+        px = bytes(bgra) if bgra is not None else bytes([value]) * 4
+        self.raw_data = px * (width * height)
 
 
 class Actor:
@@ -193,8 +198,13 @@ class World:
                     and actor.type_id.startswith("sensor.camera")):
                 w = int(actor.bp.attrs.get("image_size_x", 64))
                 h = int(actor.bp.attrs.get("image_size_y", 48))
-                value = 200 if "semantic" in actor.type_id else 7
-                actor._listener(Image(self.frame, w, h, value))
+                if "semantic" in actor.type_id:
+                    # raw CARLA seg: class id in the RED channel
+                    # (4 = pedestrian)
+                    actor._listener(Image(self.frame, w, h,
+                                          bgra=(0, 0, 4, 255)))
+                else:
+                    actor._listener(Image(self.frame, w, h, 7))
         return self.frame
 
 

@@ -183,8 +183,20 @@ def test_record_moment_end_to_end(carla_env, tmp_path):
     assert vcap.isOpened()
     assert int(vcap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
     vcap.release()
-    assert os.path.exists(
-        os.path.join(tmp_path, "videos_seg", "%s.mp4" % name))
+    seg_video = os.path.join(tmp_path, "videos_seg", "%s.mp4" % name)
+    assert os.path.exists(seg_video)
+    # the seg video must hold CityScapes PALETTE colors (the fake
+    # sensor emits raw class-4 frames): the downstream decoder must
+    # recover class 4 (pedestrian), not background
+    from multiverse_tpu.forking_paths.prepared_data import (
+        seg_rgb_to_carla_ids)
+
+    scap = cv2.VideoCapture(seg_video)
+    ok, frame = scap.read()
+    scap.release()
+    assert ok
+    ids = seg_rgb_to_carla_ids(frame[:, :, ::-1])  # BGR -> RGB
+    assert (ids == 4).mean() > 0.99
     with open(os.path.join(tmp_path, "bbox", "%s.json" % name)) as f:
         boxes = json.load(f)
     assert boxes, "walker boxes recorded"

@@ -91,7 +91,20 @@ def test_vehicle_plan_teleports():
     cmds = plan_frame(0, {}, controls, state)
     kinds = [c.kind for c in cmds]
     assert kinds == ["spawn_vehicle", "vehicle_teleport"]
-    assert cmds[1].yaw == pytest.approx(45.0)
+    # the spawn-frame teleport defers its yaw: the real forward vector
+    # only exists after the adapter spawns the actor (a placeholder
+    # would poison veh_prev_yaw and the clamp keeps wrong headings)
+    assert cmds[1].yaw is None
+    assert cmds[1].direction is not None
+    from multiverse_tpu.forking_paths.sim import smoothed_yaw
+
+    state.note_vehicle(9.0, (1.0, 0.0))  # what the adapter does
+    assert smoothed_yaw(state, 9.0, cmds[1].direction,
+                        cmds[1].max_yaw_change) == pytest.approx(45.0)
+    # subsequent frames plan concrete yaws against the recorded forward
+    cmds1 = plan_frame(1, {}, controls, state)
+    tele = [c for c in cmds1 if c.kind == "vehicle_teleport"]
+    assert tele and tele[0].yaw == pytest.approx(45.0)
 
 
 def test_scene_registry_roundtrip(tmp_path):
