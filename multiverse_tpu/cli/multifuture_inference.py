@@ -100,6 +100,8 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         greedy=args.greedy,
         center_only=args.center_only,
+        # the [N,K,T,HW] grid-logit fetch only pays for .prob.p
+        need_prob=args.save_prob_file is not None,
     )
     save_outputs(output_data, beam_prob,
                  args.output_file, args.save_prob_file)

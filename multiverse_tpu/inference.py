@@ -383,6 +383,47 @@ def make_batch(
     )
 
 
+def reconstruct_beam_trajs(
+    beam_ids: jnp.ndarray,      # [N, K, T] int32 grid cells
+    reg_out: jnp.ndarray,       # [N, T, h, w, 2] offset maps
+    centers: jnp.ndarray,       # [h*w, 2]
+    center_only: bool = False,
+) -> jnp.ndarray:
+    """Beam cells + offset maps → [N, K, T, 2] absolute points, ON
+    DEVICE (center[beam_cell] + reg[t, beam_cell], reference:
+    code/multifuture_inference.py:499-517).  Shared by the serving
+    engine and the batch driver: fetching points (~320 KB at full
+    size) instead of the offset maps (~7 MB) plus a host gather loop
+    keeps the slow host link off the critical path."""
+    N, K, T = beam_ids.shape
+    HW = reg_out.shape[2] * reg_out.shape[3]
+    pts = jnp.asarray(centers)[beam_ids]             # [N, K, T, 2]
+    if center_only:
+        return pts.astype(jnp.float32)
+    reg = reg_out.reshape(N, T, HW, 2)
+    idx = jnp.moveaxis(beam_ids, 1, 2)               # [N, T, K]
+    off = jnp.take_along_axis(reg, idx[..., None], axis=2)
+    return (pts + jnp.moveaxis(off, 1, 2)).astype(jnp.float32)
+
+
+def reconstruct_greedy_trajs(
+    class_logits: jnp.ndarray,  # [N, T, h, w, 1]
+    reg_out: jnp.ndarray,       # [N, T, h, w, 2]
+    centers: jnp.ndarray,
+    center_only: bool = False,
+) -> jnp.ndarray:
+    """Argmax cells + offsets → [N, T, 2] absolute points, on device."""
+    N, T = class_logits.shape[:2]
+    HW = class_logits.shape[2] * class_logits.shape[3]
+    sel = jnp.argmax(class_logits.reshape(N, T, HW), axis=-1)
+    pts = jnp.asarray(centers)[sel]                  # [N, T, 2]
+    if center_only:
+        return pts.astype(jnp.float32)
+    reg = reg_out.reshape(N, T, HW, 2)
+    off = jnp.take_along_axis(reg, sel[..., None, None], axis=2)[:, :, 0]
+    return (pts + off).astype(jnp.float32)
+
+
 def run_multifuture_inference(
     params: dict,
     inputs: MultifutureInputs,
@@ -392,10 +433,21 @@ def run_multifuture_inference(
     greedy: bool = False,
     center_only: bool = False,
     step_fn=None,
+    need_prob: bool = True,
 ) -> Tuple[Dict[str, list], Dict[str, tuple]]:
     """Decode every trajectory; return (output_data, beam_prob) in the
     reference pickle formats (reference:
     code/multifuture_inference.py:475-530).
+
+    The host link is kept off the critical path: trajectories
+    reconstruct ON DEVICE (:func:`reconstruct_beam_trajs` — points are
+    ~320 KB/batch vs ~7 MB of offset maps plus a host gather loop),
+    and need_prob=False additionally skips fetching the [N, K, T, H·W]
+    beam-logit tensor (the .prob.p payload, ~73 MB per batch at full
+    size) — pass False unless a --save_prob_file output is requested
+    (beam_prob then returns empty).  A caller-supplied `step_fn`
+    (returning the raw (BeamOutputs, reg_out)) uses the legacy
+    host-side reconstruction.
     """
     cfg = cfg.replace(use_beam_search=not greedy).validate()
     i = cfg.active_scales[0]
@@ -404,14 +456,25 @@ def run_multifuture_inference(
     N = len(inputs.traj_ids)
     T = T_max or int(inputs.pred_lengths.max())
     K = cfg.beam_size
+    legacy = step_fn is not None
 
     if step_fn is None:
+        centers_j = jnp.asarray(centers, jnp.float32)
         if greedy:
-            step_fn = jax.jit(
-                lambda p, b: greedy_forward(p, b, cfg, T_pred=T))
+            def _greedy_step(p, b):
+                logits, reg_out = greedy_forward(p, b, cfg, T_pred=T)
+                return reconstruct_greedy_trajs(
+                    logits, reg_out, centers_j, center_only)
+
+            step_fn = jax.jit(_greedy_step)
         else:
-            step_fn = jax.jit(
-                lambda p, b: beam_forward(p, b, cfg, T_pred=T))
+            def _beam_step(p, b):
+                beam, reg_out = beam_forward(p, b, cfg, T_pred=T)
+                trajs = reconstruct_beam_trajs(
+                    beam.ids, reg_out, centers_j, center_only)
+                return trajs, beam.logprobs, beam.logits
+
+            step_fn = jax.jit(_beam_step)
 
     output_data: Dict[str, list] = {}
     beam_prob: Dict[str, tuple] = {}
@@ -422,39 +485,86 @@ def run_multifuture_inference(
         padded = np.concatenate([idxs, np.full(pad, idxs[-1])]) \
             if pad else idxs
         batch = make_batch(inputs, padded, cfg)
+
+        if legacy:
+            self_out = _legacy_reconstruct(
+                step_fn, params, batch, inputs, idxs, cfg, centers,
+                T, K, h, w, greedy, center_only, need_prob)
+            output_data.update(self_out[0])
+            beam_prob.update(self_out[1])
+            continue
+
         if greedy:
-            class_logits, reg_out = jax.device_get(step_fn(params, batch))
-            beam = None
+            trajs = np.asarray(jax.device_get(
+                step_fn(params, batch)))              # [B, T, 2]
+            logprobs = logits = None
         else:
-            beam, reg_out = jax.device_get(step_fn(params, batch))
-        reg_out = np.asarray(reg_out)
+            trajs, logprobs, logits = step_fn(params, batch)
+            if need_prob:
+                trajs, logprobs, logits = jax.device_get(
+                    (trajs, logprobs, logits))
+            else:
+                trajs, logprobs = jax.device_get((trajs, logprobs))
+                logits = None                         # stays on device
+            trajs = np.asarray(trajs)                 # [B, K, T, 2]
 
         for a, n in enumerate(idxs):
             traj_id = inputs.traj_ids[n]
             # a caller-supplied T_max below the longest GT future
             # truncates those trajectories instead of mis-reshaping
             pred_len = min(int(inputs.pred_lengths[n]), T)
-            reg = reg_out[a, :pred_len].reshape(pred_len, h * w, 2)
             if greedy:
-                sel = np.asarray(class_logits)[a, :pred_len].reshape(
-                    pred_len, h * w).argmax(axis=1)
-                pts = centers[sel] + (0.0 if center_only else reg[
-                    np.arange(pred_len), sel])
+                pts = trajs[a, :pred_len]
                 out_trajs = [list(pts) for _ in range(K)]
             else:
-                out_trajs = []
-                for j in range(K):
-                    ids_j = beam.ids[a, j, :pred_len]
-                    pts = centers[ids_j]
-                    if not center_only:
-                        pts = pts + reg[np.arange(pred_len), ids_j]
-                    out_trajs.append(list(pts))
+                out_trajs = [list(trajs[a, j, :pred_len])
+                             for j in range(K)]
             output_data[traj_id] = out_trajs
-            if beam is not None:
+            if logits is not None:
                 beam_prob[traj_id] = (
-                    np.asarray(beam.logits)[a:a + 1, :, :pred_len],
-                    np.asarray(beam.logprobs)[a:a + 1],
+                    np.asarray(logits)[a:a + 1, :, :pred_len],
+                    np.asarray(logprobs)[a:a + 1],
                 )
+    return output_data, beam_prob
+
+
+def _legacy_reconstruct(step_fn, params, batch, inputs, idxs, cfg,
+                        centers, T, K, h, w, greedy, center_only,
+                        need_prob):
+    """Host-side reconstruction for caller-supplied step_fns returning
+    the raw (BeamOutputs, reg_out) / (class_logits, reg_out)."""
+    output_data: Dict[str, list] = {}
+    beam_prob: Dict[str, tuple] = {}
+    if greedy:
+        class_logits, reg_out = jax.device_get(step_fn(params, batch))
+        beam = None
+    else:
+        beam, reg_out = jax.device_get(step_fn(params, batch))
+    reg_out = np.asarray(reg_out)
+    for a, n in enumerate(idxs):
+        traj_id = inputs.traj_ids[n]
+        pred_len = min(int(inputs.pred_lengths[n]), T)
+        reg = reg_out[a, :pred_len].reshape(pred_len, h * w, 2)
+        if greedy:
+            sel = np.asarray(class_logits)[a, :pred_len].reshape(
+                pred_len, h * w).argmax(axis=1)
+            pts = centers[sel] + (0.0 if center_only else reg[
+                np.arange(pred_len), sel])
+            out_trajs = [list(pts) for _ in range(K)]
+        else:
+            out_trajs = []
+            for j in range(K):
+                ids_j = beam.ids[a, j, :pred_len]
+                pts = centers[ids_j]
+                if not center_only:
+                    pts = pts + reg[np.arange(pred_len), ids_j]
+                out_trajs.append(list(pts))
+        output_data[traj_id] = out_trajs
+        if beam is not None and need_prob:
+            beam_prob[traj_id] = (
+                np.asarray(beam.logits)[a:a + 1, :, :pred_len],
+                np.asarray(beam.logprobs)[a:a + 1],
+            )
     return output_data, beam_prob
 
 

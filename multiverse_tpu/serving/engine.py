@@ -174,34 +174,24 @@ class ServingEngine:
         # latency by an order of magnitude.
         import jax.numpy as jnp
 
-        centers_j = jnp.asarray(self._centers)
+        from multiverse_tpu.inference import (
+            reconstruct_beam_trajs,
+            reconstruct_greedy_trajs,
+        )
+
+        centers_j = jnp.asarray(self._centers, jnp.float32)
 
         def beam_step(p, b):
             beam, reg_out = beam_forward(p, b, self.cfg,
                                          T_pred=self.T_pred)
-            B = beam.ids.shape[0]
-            T = self.T_pred
-            HW = h * w
-            reg = reg_out.reshape(B, T, HW, 2)
-            idx = jnp.moveaxis(beam.ids, 1, 2)          # [B, T, K]
-            off = jnp.take_along_axis(
-                reg, idx[..., None], axis=2)            # [B, T, K, 2]
-            trajs = (centers_j[beam.ids]
-                     + jnp.moveaxis(off, 1, 2))         # [B, K, T, 2]
-            return trajs.astype(jnp.float32), beam.logprobs
+            trajs = reconstruct_beam_trajs(beam.ids, reg_out, centers_j)
+            return trajs, beam.logprobs                 # [B, K, T, 2]
 
         def greedy_step(p, b):
             logits, reg_out = greedy_forward(
                 p, b, self.cfg, T_pred=self.T_pred)
-            B = logits.shape[0]
-            T = self.T_pred
-            HW = h * w
-            sel = jnp.argmax(logits.reshape(B, T, HW), axis=-1)
-            reg = reg_out.reshape(B, T, HW, 2)
-            off = jnp.take_along_axis(
-                reg, sel[..., None, None], axis=2)[:, :, 0]
-            trajs = centers_j[sel] + off                # [B, T, 2]
-            return trajs.astype(jnp.float32)
+            return reconstruct_greedy_trajs(
+                logits, reg_out, centers_j)             # [B, T, 2]
 
         local_step = greedy_step if self.greedy else beam_step
         if mesh is not None and mesh.size > 1:
