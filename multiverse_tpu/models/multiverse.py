@@ -220,8 +220,6 @@ def greedy_decode(
         and h2g_p["w"].shape[-1] == 1
     )
     if fused:
-        from multiverse_tpu.geometry import one_hot_grid
-
         N, H, W, _ = first_input.shape
         HW = H * W
         emb_table = conv2d(

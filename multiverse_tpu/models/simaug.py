@@ -222,12 +222,23 @@ def _attack_step(params, adv, obs_onehot, obs_reg, target, cfg,
                  step_size, lower, upper):
     """One signed-gradient step toward `target` + ε-ball/value clip
     (reference: SimAug/code/pred_models.py:91-130 `one_step_attack`)."""
-    grad = jax.grad(
-        lambda s: _per_example_ce(
-            params, s, obs_onehot, obs_reg, target, cfg).sum()
-    )(adv)
-    adv = adv - step_size * jnp.sign(grad)
-    return jnp.clip(adv, lower, upper)
+    return _attack_step_with_loss(
+        params, adv, obs_onehot, obs_reg, target, cfg,
+        step_size, lower, upper)[0]
+
+
+def _attack_step_with_loss(params, adv, obs_onehot, obs_reg, target,
+                           cfg, step_size, lower, upper):
+    """One signed-gradient step PLUS the per-example CE at `adv`, both
+    from a single forward+backward (the reference derives its view-
+    ranking loss and the attack gradient from the same tower pass; a
+    separate loss forward would cost ~1.5x for identical numbers)."""
+    def f(s):
+        ce = _per_example_ce(params, s, obs_onehot, obs_reg, target, cfg)
+        return ce.sum(), ce
+
+    grad, ce = jax.grad(f, has_aux=True)(adv)
+    return jnp.clip(adv - step_size * jnp.sign(grad), lower, upper), ce
 
 
 def white_box_attack(
@@ -320,13 +331,16 @@ def multiview_augmentation(
     # attack toward each extra view's pred labels
     target = batch.pred_grid_class_extra.reshape(N * M, T_pred)
 
-    lower = jnp.clip(scene_tiled - cfg.adv_epsilon, -1.0, 1.0)
-    upper = jnp.clip(scene_tiled + cfg.adv_epsilon, -1.0, 1.0)
     start = _start_adv(k_a, scene_tiled, cfg)
-    # ranking loss is measured at the attack start (reference :374-398)
-    view_loss = _per_example_ce(
-        params, start, onehot_tiled, reg_tiled, target, cfg)
-    adv_out = _attack_step(
+    # the MULTIVIEW one_step_attack rebinds its input to the noised
+    # start before computing the clip bounds (reference :370-410) —
+    # unlike the single-view attack (:132-136) whose ball centers on
+    # the clean feature; both are reproduced faithfully
+    lower = jnp.clip(start - cfg.adv_epsilon, -1.0, 1.0)
+    upper = jnp.clip(start + cfg.adv_epsilon, -1.0, 1.0)
+    # ranking loss is measured at the attack start (reference
+    # :374-398) and shares the attack's forward+backward
+    adv_out, view_loss = _attack_step_with_loss(
         params, start, onehot_tiled, reg_tiled, target, cfg,
         cfg.adv_epsilon, lower, upper)
 
@@ -369,8 +383,11 @@ def multiview_augmentation(
             batch.obs_scene_extra.reshape(-1)
         ].reshape((N, M, T_obs) + batch.scene_feat.shape[1:])
         extra_scene = extra_scene.astype(scene_input.dtype)
-        if cfg.norm_input:
-            extra_scene = extra_scene * 2.0 - 1.0
+        # NOTE: under norm_input the reference mixes the extra view's
+        # RAW [0,1] one-hot features against the own view's [-1,1]
+        # ones (reference :508-520 embedding_lookup with no rescale) —
+        # that asymmetry is part of the published algorithm and is
+        # reproduced, not "fixed"
         feat2 = pick(extra_scene, selected)
     else:
         raise ValueError("multiview_exp must be 1..4")

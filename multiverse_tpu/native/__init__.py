@@ -79,6 +79,15 @@ def remap_first_seen(
     out = np.empty_like(flat)
     if max_id is None:
         max_id = int(flat.max()) if flat.size else 0
+    if flat.size:
+        # the C kernel indexes a (max_id+1)-entry scratch with raw
+        # ids — out-of-range values would read/write out of bounds
+        # and silently corrupt the batch (the numpy fallback raises)
+        mn, mx = int(flat.min()), int(flat.max())
+        if mn < 0 or mx > max_id:
+            raise ValueError(
+                f"ids out of range [0, {max_id}]: found [{mn}, {mx}] "
+                f"(corrupt obs_scene index?)")
     lib = _build_and_load()
     if lib is not None:
         seen = np.full(max_id + 1, -1, np.int32)
@@ -112,6 +121,13 @@ def gather_rows(rows: np.ndarray, table: np.ndarray,
                 out_rows: int) -> np.ndarray:
     """out[i] = rows[table[i]], zero-padded to out_rows rows."""
     table = np.ascontiguousarray(table, np.int32)
+    if len(table) > out_rows:
+        raise ValueError(
+            f"table has {len(table)} rows > out_rows {out_rows}")
+    if table.size and (int(table.min()) < 0
+                       or int(table.max()) >= len(rows)):
+        raise ValueError(
+            f"table indexes outside rows[0, {len(rows)})")
     out = np.zeros((out_rows,) + rows.shape[1:], rows.dtype)
     lib = _build_and_load()
     if lib is not None and rows.dtype == np.uint8:

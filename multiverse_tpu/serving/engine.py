@@ -423,12 +423,22 @@ class ServingEngine:
         obs_scene = np.zeros((B, T_obs), np.int32)
         pred_lens = np.zeros((B,), np.int32)
         for a, r in enumerate(padded):
-            c, t = rasterize_traj_np(
-                r.obs_traj, cfg.video_h, cfg.video_w, cfg.scene_grids)
-            cls[a] = c
-            if tgt0 is None:
-                tgt0 = np.zeros((B,) + t[i].shape, np.float32)
-            tgt0[a] = t[i]
+            if a >= len(reqs):
+                # pad slots repeat the last real request — copy its
+                # rows instead of re-rasterizing it per slot (63
+                # redundant rasterizations per 1-request batch on the
+                # latency-critical batcher thread otherwise)
+                src = len(reqs) - 1
+                cls[a] = cls[src]
+                tgt0[a] = tgt0[src]
+            else:
+                c, t = rasterize_traj_np(
+                    r.obs_traj, cfg.video_h, cfg.video_w,
+                    cfg.scene_grids)
+                cls[a] = c
+                if tgt0 is None:
+                    tgt0 = np.zeros((B,) + t[i].shape, np.float32)
+                tgt0[a] = t[i]
             rows = np.arange(a * T_obs, (a + 1) * T_obs)
             if not all_default and r.scene_onehot is not None:
                 scene_rows[rows] = r.scene_onehot

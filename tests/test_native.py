@@ -81,3 +81,30 @@ def test_prefetch_order_and_errors():
     with pytest.raises(RuntimeError):
         for _ in it:
             pass
+
+
+def test_remap_rejects_out_of_range_ids():
+    # the C kernel indexes a (max_id+1)-entry scratch with raw ids —
+    # unvalidated out-of-range ids silently corrupted batches
+    import pytest
+
+    from multiverse_tpu import native
+
+    with pytest.raises(ValueError, match="out of range"):
+        native.remap_first_seen(
+            np.asarray([0, 5, 9], np.int32), capacity=8, max_id=3)
+    with pytest.raises(ValueError, match="out of range"):
+        native.remap_first_seen(
+            np.asarray([-1, 0], np.int32), capacity=8, max_id=3)
+
+
+def test_gather_rows_rejects_bad_table():
+    import pytest
+
+    from multiverse_tpu import native
+
+    rows = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    with pytest.raises(ValueError, match="outside rows"):
+        native.gather_rows(rows, np.asarray([0, 7], np.int32), 4)
+    with pytest.raises(ValueError, match="rows >"):
+        native.gather_rows(rows, np.asarray([0, 1, 2], np.int32), 2)
