@@ -479,27 +479,13 @@ def run_multifuture_inference(
     output_data: Dict[str, list] = {}
     beam_prob: Dict[str, tuple] = {}
 
-    for lo in range(0, N, batch_size):
-        idxs = np.arange(lo, min(lo + batch_size, N))
-        pad = batch_size - len(idxs)
-        padded = np.concatenate([idxs, np.full(pad, idxs[-1])]) \
-            if pad else idxs
-        batch = make_batch(inputs, padded, cfg)
-
-        if legacy:
-            self_out = _legacy_reconstruct(
-                step_fn, params, batch, inputs, idxs, cfg, centers,
-                T, K, h, w, greedy, center_only, need_prob)
-            output_data.update(self_out[0])
-            beam_prob.update(self_out[1])
-            continue
-
+    def resolve(idxs, out):
+        """Fetch one dispatched batch and write its trajectories."""
         if greedy:
-            trajs = np.asarray(jax.device_get(
-                step_fn(params, batch)))              # [B, T, 2]
+            trajs = np.asarray(jax.device_get(out))   # [B, T, 2]
             logprobs = logits = None
         else:
-            trajs, logprobs, logits = step_fn(params, batch)
+            trajs, logprobs, logits = out
             if need_prob:
                 trajs, logprobs, logits = jax.device_get(
                     (trajs, logprobs, logits))
@@ -525,6 +511,32 @@ def run_multifuture_inference(
                     np.asarray(logits)[a:a + 1, :, :pred_len],
                     np.asarray(logprobs)[a:a + 1],
                 )
+
+    # pipeline depth 2: with JAX's async dispatch the next batch is
+    # built + enqueued while the previous one still computes — host
+    # packing/fetch and device decode overlap (same structure as the
+    # serving engine's batcher/resolver split, inline here)
+    pending: list = []
+    for lo in range(0, N, batch_size):
+        idxs = np.arange(lo, min(lo + batch_size, N))
+        pad = batch_size - len(idxs)
+        padded = np.concatenate([idxs, np.full(pad, idxs[-1])]) \
+            if pad else idxs
+        batch = make_batch(inputs, padded, cfg)
+
+        if legacy:
+            self_out = _legacy_reconstruct(
+                step_fn, params, batch, inputs, idxs, cfg, centers,
+                T, K, h, w, greedy, center_only, need_prob)
+            output_data.update(self_out[0])
+            beam_prob.update(self_out[1])
+            continue
+
+        pending.append((idxs, step_fn(params, batch)))
+        if len(pending) >= 2:
+            resolve(*pending.pop(0))
+    for item in pending:
+        resolve(*item)
     return output_data, beam_prob
 
 
