@@ -208,3 +208,28 @@ def test_http_server_roundtrip(rng, beam_setup):
     finally:
         server.httpd.shutdown()
         server.httpd.server_close()
+
+
+def test_close_semantics_and_error_counting(rng):
+    """close() fails queued + late-submitted requests fast, and errors
+    are counted per REQUEST (comparable to stats['requests'])."""
+    cfg = tiny_config(use_beam_search=True, beam_size=2,
+                      diverse_beam=True, diverse_gamma=0.01,
+                      fix_num_timestep=1)
+    params, eng = _engine(cfg, max_batch=2, max_delay_ms=1.0, T_pred=3)
+    eng.warmup()
+    obs = _random_obs(rng, cfg, 1)[0]
+
+    # failing step -> every request in the batch counted as an error
+    orig = eng._step
+    eng._step = lambda *_: (_ for _ in ()).throw(RuntimeError("boom"))
+    h1, h2 = eng.submit(obs), eng.submit(obs)
+    for h in (h1, h2):
+        h.event.wait(10)
+        assert isinstance(h.error, RuntimeError)
+    assert eng.stats.snapshot()["errors"] == 2
+    eng._step = orig
+
+    eng.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.predict(obs, timeout=5)
