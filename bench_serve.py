@@ -35,7 +35,7 @@ MAX_DELAY_MS = 20.0
 T_PRED = 25
 
 
-def main():
+def main(greedy: bool = False):
     import jax
 
     from multiverse_tpu.config import MultiverseConfig
@@ -46,11 +46,14 @@ def main():
 
     cfg = MultiverseConfig(
         scene_grid_strides=(2, 4), use_grids=(True, False),
-        use_beam_search=True, beam_size=20, diverse_beam=True,
+        use_beam_search=not greedy, beam_size=20, diverse_beam=not greedy,
         diverse_gamma=0.01, fix_num_timestep=1,
         compute_dtype="bfloat16").validate()
+    # greedy decodes ~13x faster per trajectory, so its saturation
+    # batch is larger
+    max_batch = MAX_BATCH * 4 if greedy else MAX_BATCH
     params = init_params(jax.random.PRNGKey(0), cfg)
-    eng = ServingEngine(params, cfg, max_batch=MAX_BATCH,
+    eng = ServingEngine(params, cfg, max_batch=max_batch,
                         max_delay_ms=MAX_DELAY_MS, T_pred=T_PRED)
     dev = jax.devices()[0]
     print(f"bench_serve: device={dev.platform}:{dev.device_kind} "
@@ -59,10 +62,11 @@ def main():
     server = PredictionServer(eng, port=0)
     server.start_background()
 
+    n_clients = N_CLIENTS * 2 if greedy else N_CLIENTS
     rng = np.random.RandomState(0)
     obs_all = [np.stack([rng.uniform(0, cfg.video_w, cfg.obs_len),
                          rng.uniform(0, cfg.video_h, cfg.obs_len)], 1)
-               for _ in range(N_CLIENTS)]
+               for _ in range(n_clients)]
     errors = []
 
     def worker(k):
@@ -75,30 +79,31 @@ def main():
                 errors.append(exc)
 
     threads = [threading.Thread(target=worker, args=(k,))
-               for k in range(N_CLIENTS)]
+               for k in range(n_clients)]
     t0 = time.perf_counter()
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     dt = time.perf_counter() - t0
-    total = N_CLIENTS * REQS_PER_CLIENT
+    total = n_clients * REQS_PER_CLIENT
     stats = eng.stats.snapshot()
     server.httpd.shutdown()
     server.httpd.server_close()
     eng.close()
 
     print(json.dumps({
-        "metric": "serving_throughput",
+        "metric": ("serving_throughput_greedy" if greedy
+                   else "serving_throughput"),
         "value": round(total / dt, 2),
         "unit": "req/s",
-        "clients": N_CLIENTS,
+        "clients": n_clients,
         "errors": len(errors),
         "mean_batch_occupancy": stats["mean_batch_occupancy"],
         "mean_latency_ms": stats["mean_latency_ms"],
-        "max_batch": MAX_BATCH,
+        "max_batch": max_batch,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    main(greedy="--greedy" in sys.argv)
