@@ -321,19 +321,31 @@ class ServingEngine:
             raise pending.error
         return pending.result
 
-    def close(self):
+    def close(self, batcher_timeout_s: float = 5.0,
+              resolver_timeout_s: float = 30.0):
         self._stop.set()
-        self._batcher.join(timeout=5.0)
-        self._resolver.join(timeout=30.0)  # lets in-flight batches land
-        # resolve anything still queued so waiters fail fast instead of
+        self._batcher.join(timeout=batcher_timeout_s)
+        # lets in-flight batches land (a cold-cache compile can exceed
+        # this — the _inflight sweep below then fails their waiters)
+        self._resolver.join(timeout=resolver_timeout_s)
+        # resolve anything still queued — and, if the resolver join
+        # timed out (e.g. a cold-cache compile holding the device),
+        # anything still in flight — so waiters fail fast instead of
         # blocking out their full predict timeout
         while True:
             try:
                 pending = self._queue.get_nowait()
             except queue.Empty:
                 break
-            pending.error = RuntimeError("engine closed")
-            pending.event.set()
+            self._fail([pending], RuntimeError("engine closed"))
+        if not self._resolver.is_alive():
+            return  # clean exit: the resolver drained _inflight itself
+        while True:
+            try:
+                reqs, _ = self._inflight.get_nowait()
+            except queue.Empty:
+                break
+            self._fail(reqs, RuntimeError("engine closed"))
 
     # ------------------------------------------------------- internals
 
@@ -381,9 +393,22 @@ class ServingEngine:
         have_slot = self._slots.acquire(blocking=False)
         while len(batch) < self.max_batch and not self._stop.is_set():
             if not have_slot:
-                have_slot = self._slots.acquire(blocking=False)
+                # both device slots in flight: dispatching earlier could
+                # not start this batch any sooner, so sweep whatever is
+                # queued and then block on the SEMAPHORE (woken the
+                # instant the resolver releases a slot) instead of
+                # polling the request queue at millisecond period
+                while len(batch) < self.max_batch:
+                    try:
+                        batch.append(self._queue.get_nowait())
+                    except queue.Empty:
+                        break
+                if len(batch) >= self.max_batch:
+                    break
+                have_slot = self._slots.acquire(timeout=0.05)
+                continue
             now = time.perf_counter()
-            if have_slot and now >= deadline:
+            if now >= deadline:
                 # sweep anything already queued, then dispatch
                 while len(batch) < self.max_batch:
                     try:
@@ -391,10 +416,9 @@ class ServingEngine:
                     except queue.Empty:
                         break
                 break
-            timeout = 0.002 if not have_slot else \
-                max(deadline - now, 0.0005)
             try:
-                batch.append(self._queue.get(timeout=timeout))
+                batch.append(self._queue.get(
+                    timeout=max(deadline - now, 0.0005)))
             except queue.Empty:
                 continue
         while not have_slot and not self._stop.is_set():
@@ -522,9 +546,14 @@ class ServingEngine:
         self.stats.record_batch(len(reqs), lats)
 
     def _fail(self, reqs: List[_Pending], exc: Exception):
+        # skip requests already resolved (event set): _resolve may have
+        # woken part of a batch before the failure — overwriting their
+        # error would make a waiter holding a valid result raise, and
+        # would over-count errors by the already-resolved requests
+        failed = [r for r in reqs if not r.event.is_set()]
         # request-level count, comparable against stats["requests"]
         with self.stats._lock:
-            self.stats.errors += len(reqs)
-        for r in reqs:
+            self.stats.errors += len(failed)
+        for r in failed:
             r.error = exc
             r.event.set()

@@ -7,6 +7,7 @@ semantics).  All on the CPU test mesh with tiny configs.
 """
 
 import threading
+import time
 
 import jax
 import jax.numpy as jnp
@@ -233,3 +234,61 @@ def test_close_semantics_and_error_counting(rng):
     eng.close()
     with pytest.raises(RuntimeError, match="closed"):
         eng.predict(obs, timeout=5)
+
+
+def test_fail_skips_already_resolved_requests(rng):
+    """_fail on a batch where some requests already resolved must not
+    overwrite their results or count them as errors: a waiter holding a
+    valid result would otherwise raise, and errors over-count."""
+    from multiverse_tpu.serving.engine import _Pending
+
+    cfg = tiny_config(use_beam_search=True, beam_size=2,
+                      diverse_beam=True, diverse_gamma=0.01,
+                      fix_num_timestep=1)
+    _, eng = _engine(cfg, max_batch=2, max_delay_ms=1.0, T_pred=3)
+    try:
+        done = _Pending(np.zeros((cfg.obs_len, 2), np.float32), None, 3)
+        done.result = "already-resolved"
+        done.event.set()
+        pending = _Pending(
+            np.zeros((cfg.obs_len, 2), np.float32), None, 3)
+        eng._fail([done, pending], RuntimeError("boom"))
+        assert done.error is None
+        assert done.result == "already-resolved"
+        assert isinstance(pending.error, RuntimeError)
+        assert eng.stats.snapshot()["errors"] == 1
+    finally:
+        eng.close()
+
+
+def test_close_fails_inflight_when_resolver_stuck(rng):
+    """If the resolver cannot land in-flight batches before close()'s
+    join timeout, their waiters are failed instead of being left to
+    block out their full predict timeout."""
+    cfg = tiny_config(use_beam_search=True, beam_size=2,
+                      diverse_beam=True, diverse_gamma=0.01,
+                      fix_num_timestep=1)
+    _, eng = _engine(cfg, max_batch=1, max_delay_ms=1.0, T_pred=3)
+    eng.warmup()
+    rng_obs = _random_obs(rng, cfg, 2)
+    picked, release = threading.Event(), threading.Event()
+
+    def stuck_resolve(reqs, out, K):
+        picked.set()
+        release.wait(30)
+
+    eng._resolve = stuck_resolve
+    try:
+        h1 = eng.submit(rng_obs[0])
+        assert picked.wait(10)          # resolver is inside batch #1
+        h2 = eng.submit(rng_obs[1])     # batch #2 stays in _inflight
+        deadline = time.time() + 10
+        while eng._inflight.qsize() == 0 and time.time() < deadline:
+            time.sleep(0.01)
+        assert eng._inflight.qsize() == 1
+        eng.close(resolver_timeout_s=0.3)
+        assert h2.event.is_set()
+        assert isinstance(h2.error, RuntimeError)
+        assert not h1.event.is_set()    # still held by the stuck batch
+    finally:
+        release.set()
