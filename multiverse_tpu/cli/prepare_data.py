@@ -49,6 +49,42 @@ def prepare_multifuture_main(argv=None) -> None:
         print("%s: %s" % (split, stats))
 
 
+def prepare_anchor_main(argv=None) -> None:
+    """Anchor (single-future) dataset -> trajectory TSVs + box pickles
+    over all sampled frames (reference:
+    forking_paths_dataset/code/get_prepared_data.py:12-15 — same
+    positional dataset_path/split_path/outpath surface)."""
+    from multiverse_tpu.forking_paths.prepared_data import (
+        prepare_anchor_split,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("dataset_path")
+    parser.add_argument("split_path")
+    parser.add_argument("outpath")
+    parser.add_argument("--drop_frame", type=int, default=None,
+                        help="frame subsampling (default: the virat "
+                             "rate the reference hardcodes)")
+    parser.add_argument("--min_frames", type=int, default=20)
+    args = parser.parse_args(argv)
+    kw = {"min_frames": args.min_frames}
+    if args.drop_frame is not None:
+        kw["drop_frame"] = args.drop_frame
+    for split in ("train", "val", "test"):
+        lst = os.path.join(args.split_path, "%s.lst" % split)
+        if not os.path.exists(lst):
+            continue
+        names = _read_lst(lst)
+        if not names:
+            continue
+        counts = prepare_anchor_split(
+            args.dataset_path, names, args.outpath, split, **kw)
+        print("%s: %d videos, frames min/max/avg %d/%d/%.1f" % (
+            split, len(counts), min(counts), max(counts),
+            sum(counts) / len(counts)) if counts
+            else "%s: 0 videos" % split)
+
+
 def prepare_sdd_main(argv=None) -> None:
     from multiverse_tpu.data.sdd import parse_changelst, prepare_sdd_split
 

@@ -467,11 +467,21 @@ def compute_loss(
     batch: Batch,
     outputs: ForwardOutputs,
     cfg: MultiverseConfig,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Grid CE + Huber offset regression + L2 weight decay.
 
     reference: code/pred_models.py:961-1040 `build_loss`.
     Returns (total loss, dict of per-head losses).
+
+    ``axis_name``: set when this runs inside ``shard_map`` over a batch
+    axis and the caller pmean-averages losses/grads over that axis.
+    Every plain-mean term is exact under mean-of-equal-shard-means, but
+    the masked regression's normalizer (the per-shard mask count) is
+    not — with ``axis_name`` the mask count is psum'd globally and the
+    local term scaled by the axis size, so the caller's pmean recovers
+    exactly ``sum_shards(num) / global_count`` for both the value and
+    (because only the numerator depends on params) the gradient.
     """
     losses = {}
     total = jnp.asarray(0.0, jnp.float32)
@@ -506,7 +516,14 @@ def compute_loss(
                 )
             m = (label_mask > 0).astype(jnp.float32)
             m = m.reshape(reg.shape[:-1])[..., None]  # [N,T,h,w,1]
-            reg_loss = jnp.sum(hub * m) / jnp.maximum(jnp.sum(m) * 2.0, 1.0)
+            num, den = jnp.sum(hub * m), jnp.sum(m)
+            if axis_name is not None:
+                n_shards = jax.lax.psum(jnp.ones((), jnp.float32),
+                                        axis_name)
+                reg_loss = n_shards * num / jnp.maximum(
+                    jax.lax.psum(den, axis_name) * 2.0, 1.0)
+            else:
+                reg_loss = num / jnp.maximum(den * 2.0, 1.0)
         else:
             reg_loss = jnp.mean(hub)
 

@@ -196,16 +196,17 @@ def make_sharded_train_step(
 
     Pure-DP multi-device meshes run as explicit SPMD via
     :func:`shard_map` (see :func:`_make_shardmap_train_step`) so the
-    pallas GNN kernel + its custom-VJP backward ride along per chip.
-    TP meshes — and the masked-regression loss, whose per-shard
-    normalizer would make mean-of-shard-means ≠ the global mean — use
-    the GSPMD path: shardings propagate from the argument placement
-    (:func:`init_sharded_train_state` / :func:`shard_batch`) and the
-    per-example loss mean makes XLA emit the gradient all-reduce over
-    "data" on its own — no hand-written collectives.
+    pallas GNN kernel + its custom-VJP backward ride along per chip —
+    including under ``mask_grid_regression``, whose global mask-count
+    normalizer :func:`compute_loss` psums over "data" when given the
+    axis name.  TP meshes use the GSPMD path: shardings propagate from
+    the argument placement (:func:`init_sharded_train_state` /
+    :func:`shard_batch`) and the per-example loss mean makes XLA emit
+    the gradient all-reduce over "data" on its own — no hand-written
+    collectives.
     """
     if (mesh.size > 1 and mesh.shape["model"] == 1
-            and cfg.allow_pallas and not cfg.mask_grid_regression):
+            and cfg.allow_pallas):
         return _make_shardmap_train_step(cfg, tx, mesh)
 
     cfg = _no_pallas_if_multidevice(cfg, mesh)
@@ -259,15 +260,19 @@ def _make_shardmap_train_step(
     kernel path — on TPU the GNN attention runs its fused pallas
     forward/backward per chip, which GSPMD's auto-partitioner cannot
     do (pallas_call is opaque to it).  Gradients and loss parts are
-    pmean-averaged over "data" (exact: every loss term is a plain mean
-    and shards are equal-sized by construction), then the optimizer
-    update runs identically on every chip, keeping state replicated.
+    pmean-averaged over "data" (exact: every plain-mean term because
+    shards are equal-sized by construction, and the masked-regression
+    term because compute_loss psums its mask-count normalizer over
+    "data" and scales by the axis size — reference semantics:
+    code/pred_models.py:999-1018), then the optimizer update runs
+    identically on every chip, keeping state replicated.
     """
     from jax.experimental.shard_map import shard_map
 
     def loss_fn(params, batch):
         out = model_forward(params, batch, cfg, is_train=True)
-        total, parts = compute_loss(params, batch, out, cfg)
+        total, parts = compute_loss(params, batch, out, cfg,
+                                    axis_name="data")
         return total, parts
 
     def local_step(state: TrainState, batch: Batch):

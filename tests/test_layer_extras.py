@@ -70,6 +70,40 @@ def test_prepare_anchor_split(tmp_path):
     assert rows.shape[0] == 26
 
 
+def test_prepare_anchor_cli(tmp_path):
+    """mvt-prepare-anchor drives prepare_anchor_split per split list
+    (reference CLI surface:
+    forking_paths_dataset/code/get_prepared_data.py:12-15)."""
+    import json
+    import pickle
+
+    from multiverse_tpu.cli.prepare_data import prepare_anchor_main
+
+    bbox_dir = tmp_path / "ds" / "bbox"
+    os.makedirs(bbox_dir)
+    boxes = []
+    for f in range(26 * 12):
+        boxes.append({"frame_id": f, "track_id": 0,
+                      "class_name": "Person", "is_x_agent": 1,
+                      "bbox": [100.0 + f, 100.0, 20.0, 40.0]})
+    with open(bbox_dir / "0000_3_1_0_a_cam1.json", "w") as fh:
+        json.dump(boxes, fh)
+    split_dir = tmp_path / "splits"
+    os.makedirs(split_dir)
+    (split_dir / "train.lst").write_text("0000_3_1_0_a_cam1\n")
+
+    prepare_anchor_main([str(tmp_path / "ds"), str(split_dir),
+                         str(tmp_path / "out")])
+    rows = np.loadtxt(tmp_path / "out" / "traj_2.5fps" / "train" /
+                      "0000_3_1_0_a_cam1.txt", delimiter="\t")
+    assert rows.shape[0] == 26
+    assert rows[0, 0] == 0.0 and rows[1, 0] == 12.0  # no rebasing
+    with open(tmp_path / "out" / "anno_person_box" / "train" /
+              "0000_3_1_0_a_cam1.p", "rb") as fh:
+        person_boxes = pickle.load(fh)
+    assert "0_0" in person_boxes
+
+
 def test_sdd_fold_splits(tmp_path):
     from multiverse_tpu.data.sdd import write_sdd_fold_splits
 

@@ -88,9 +88,20 @@ def test_param_pspecs_tp_shards_channel_axes():
     )
 
 
-@pytest.mark.parametrize("model_parallel", [1, 2])
-def test_sharded_train_step_matches_single_device(model_parallel):
-    cfg = tiny_cfg()
+@pytest.mark.parametrize("model_parallel,masked", [
+    (1, False), (2, False),
+    # mask_grid_regression's normalizer is a global mask count: the
+    # shard_map path must psum it over "data" (compute_loss axis_name)
+    # for mean-of-shard-means to equal the single-device loss
+    (1, True), (2, True),
+])
+def test_sharded_train_step_matches_single_device(model_parallel, masked):
+    # soft labels make per-EXAMPLE mask counts vary (the smoothing
+    # kernel loses mass at grid borders) — with hard one-hot labels
+    # every example masks exactly T cells and per-shard normalizers
+    # would be equal by construction, hiding a mean-of-means bug
+    cfg = tiny_cfg(mask_grid_regression=masked,
+                   use_soft_grid_class=masked, soft_grid=1)
     n = cfg.batch_size
     params = init_params(jax.random.PRNGKey(0), cfg)
     batch = tiny_batch(cfg, n)
@@ -100,7 +111,7 @@ def test_sharded_train_step_matches_single_device(model_parallel):
     state0, _ = init_train_state(
         jax.tree.map(jnp.array, params), cfg, n * 4)
     step0 = make_train_step(cfg, tx)
-    _, losses0 = step0(state0, jax.tree.map(jnp.asarray, batch))
+    new_state0, losses0 = step0(state0, jax.tree.map(jnp.asarray, batch))
     ref_total = float(losses0["total"])
 
     mesh = make_mesh(n_devices=8, model_parallel=model_parallel)
@@ -112,6 +123,11 @@ def test_sharded_train_step_matches_single_device(model_parallel):
     total = float(jax.device_get(losses["total"]))
     assert np.isfinite(total)
     np.testing.assert_allclose(total, ref_total, rtol=2e-4)
+    # gradient exactness: the optimizer update from pmean'd shard grads
+    # must land on the same params as the single-device update
+    for a, b in zip(jax.tree.leaves(jax.device_get(new_state.params)),
+                    jax.tree.leaves(jax.device_get(new_state0.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
     # updated params finite and actually changed
     leaf = jax.device_get(jax.tree.leaves(new_state.params)[0])
     assert np.isfinite(leaf).all()
