@@ -73,10 +73,43 @@ def _check_diversity_penalty_fusion(jax):
           file=sys.stderr)
 
 
+def _measure_matmul_roofline(jax) -> float:
+    """Measured bf16 matmul peak of this chip, in TFLOP/s.
+
+    K chained 8192^3 matmuls inside ONE jit (device-side fori_loop, a
+    single scalar fetch) so the tunnel's host-sync latency is amortized
+    across ~70 TFLOP of work.  This is the denominator of the bench's
+    mfu_vs_roofline field — a MEASURED peak, not the datasheet number."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    M, K_ITERS = 8192, 64
+    b = jnp.zeros((M, M), jnp.bfloat16)   # runtime arg: not foldable
+    x = jnp.ones((M, M), jnp.bfloat16)
+
+    def chain(x, b):
+        out = lax.fori_loop(
+            0, K_ITERS,
+            lambda _, v: jnp.dot(v, b,
+                                 preferred_element_type=jnp.bfloat16),
+            x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    f = jax.jit(chain)
+    float(np.asarray(f(x, b)))            # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(np.asarray(f(x, b)))
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * M ** 3 * K_ITERS / best / 1e12
+
+
 def main():
     import jax
 
     from multiverse_tpu.config import MultiverseConfig
+    from multiverse_tpu.flops import beam_decode_flops
     from multiverse_tpu.inference import (
         beam_forward,
         make_batch,
@@ -130,6 +163,15 @@ def main():
     dt = time.perf_counter() - t0
     traj_per_sec = BATCH * ITERS / dt
 
+    # analytic FLOPs of the decode batch (multiverse_tpu.flops —
+    # matmul/conv MACs only, so achieved TFLOP/s is a floor) and the
+    # chip's MEASURED matmul roofline, emitted as artifact fields
+    # backing the "decode is compute-bound" claim
+    step_flops = beam_decode_flops(cfg, BATCH, T_PRED)
+    tflops = step_flops * ITERS / dt / 1e12
+    roofline = (_measure_matmul_roofline(jax)
+                if dev.platform == "tpu" else None)
+
     # opt-in int8 decode fast path (cfg.decode_quant="int8"): the gate
     # matmul rides the MXU's int8 mode (2x bf16 peak).  Reported as an
     # extra field, NOT the headline: on trained checkpoints its beam
@@ -153,11 +195,23 @@ def main():
         "value": round(traj_per_sec, 2),
         "unit": "traj/s",
         "vs_baseline": round(traj_per_sec / REFERENCE_TRAJ_PER_SEC, 2),
+        "tflops": round(tflops, 1),
     }
+    if roofline is not None:
+        record["roofline_tflops"] = round(roofline, 1)
+        record["mfu_vs_roofline"] = round(tflops / roofline, 3)
     if int8_traj_per_sec is not None:
         record["int8_value"] = round(int8_traj_per_sec, 2)
         record["int8_vs_baseline"] = round(
             int8_traj_per_sec / REFERENCE_TRAJ_PER_SEC, 2)
+        int8_tflops = (step_flops * int8_traj_per_sec / BATCH) / 1e12
+        record["int8_tflops"] = round(int8_tflops, 1)
+        if roofline is not None:
+            # only the gate matmul rides the MXU's int8 mode (2x bf16
+            # peak); attention + readout stay bf16, so utilization vs
+            # the blended peak is a floor
+            record["int8_mfu_vs_2x_roofline"] = round(
+                int8_tflops / (2.0 * roofline), 3)
     print(json.dumps(record))
 
 

@@ -121,7 +121,13 @@ def main():
             [fetch(v) for v in jax.device_get(pending)]
         buffered = ITERS / (time.perf_counter() - t0)
 
-    print(json.dumps({
+    # analytic train-step FLOPs (multiverse_tpu.flops: fwd + the
+    # standard 3x-forward backward convention, matmul/conv MACs only —
+    # achieved TFLOP/s is a floor) vs the measured matmul roofline
+    from multiverse_tpu.flops import train_step_flops
+
+    tflops = train_step_flops(cfg, BATCH) * buffered / 1e12
+    record = {
         "metric": "train_step_throughput",
         "value": round(buffered, 2),
         "unit": "steps/s",
@@ -129,7 +135,15 @@ def main():
         "examples_per_sec": round(buffered * BATCH, 1),
         "batch": BATCH,
         "dtype": "bfloat16",
-    }))
+        "tflops": round(tflops, 1),
+    }
+    if dev.platform == "tpu":
+        from bench import _measure_matmul_roofline
+
+        roofline = _measure_matmul_roofline(jax)
+        record["roofline_tflops"] = round(roofline, 1)
+        record["mfu_vs_roofline"] = round(tflops / roofline, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

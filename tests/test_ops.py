@@ -509,3 +509,37 @@ def test_pallas_decode_gathered_q8_tracks_f32(rng):
         atol=0.08)
     np.testing.assert_allclose(
         np.asarray(q2logits), np.asarray(ref_logits), atol=0.08)
+
+
+def test_analytic_flops_accounting():
+    """multiverse_tpu.flops sanity: the MFU artifact's numerator."""
+    from multiverse_tpu.config import MultiverseConfig
+    from multiverse_tpu.flops import (
+        beam_decode_flops,
+        convlstm_step_flops,
+        gnn_step_flops,
+        train_fwd_flops,
+        train_step_flops,
+    )
+
+    # hand-checked: 2 * hw * 9 * (cin + d) * 4d
+    assert convlstm_step_flops(18, 32, 32, 256) == \
+        2 * 576 * 9 * 288 * 1024
+    assert gnn_step_flops(18, 32, 256, 64) == \
+        2 * 576 * 576 * (256 + 64) + 2 * 576 * 576 * 256
+
+    cfg = MultiverseConfig(
+        scene_grid_strides=(2, 4), use_grids=(True, False),
+        use_gnn=True, use_scene_enc=True, use_beam_search=True,
+        beam_size=20, diverse_beam=True).validate()
+    f1 = beam_decode_flops(cfg, 64, 25)
+    # the beam axis dominates: doubling K must roughly double the total
+    f2 = beam_decode_flops(cfg.replace(beam_size=40).validate(), 64, 25)
+    assert 1.7 < f2 / f1 < 2.0
+    # flagship decode batch is O(100) TFLOP (STATUS.md §Perf scale)
+    assert 50e12 < f1 < 200e12
+
+    assert train_step_flops(cfg, 20) == 3.0 * train_fwd_flops(cfg, 20)
+    # disabling the GNN removes its per-step cost
+    assert train_fwd_flops(cfg.replace(use_gnn=False), 20) < \
+        train_fwd_flops(cfg, 20)
