@@ -1,0 +1,107 @@
+"""Offline batch-inference throughput: the mvt-multifuture-inference
+driver path, measured at STEADY STATE.
+
+Runs `run_multifuture_inference` (host input packing -> depth-2
+pipelined device decode -> on-device trajectory reconstruction ->
+pickle-format assembly) over >= 10 full batches, after a warmup pass
+that absorbs the one-time trace/compile cost — the round-2 ledger
+number (12.2 traj/s over 2 batches) was floored by that overhead and
+could not catch a regression in per-batch host time.
+
+Two modes are reported: .traj.p-only (need_prob=False — nothing big
+crosses the host link) and with the .prob.p payload (the reference's
+full per-cell logit contract, irreducibly transfer-bound on this
+~10 MB/s link; reference: code/multifuture_inference.py:475-530).
+
+Prints ONE JSON line:
+    {"metric": "offline_inference_throughput", "value": <traj/s>,
+     "unit": "traj/s", "with_prob_value": N, "batches": N,
+     "batch_size": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 64
+N_BATCHES = 10
+T_PRED = 25
+
+
+def main():
+    import jax
+
+    from multiverse_tpu.config import MultiverseConfig
+    from multiverse_tpu.inference import (
+        run_multifuture_inference,
+        synthesize_multifuture_inputs,
+    )
+    from multiverse_tpu.models import init_params
+
+    cfg = MultiverseConfig(
+        scene_grid_strides=(2, 4), use_grids=(True, False),
+        use_beam_search=True, beam_size=20, diverse_beam=True,
+        diverse_gamma=0.01, fix_num_timestep=1,
+        compute_dtype="bfloat16").validate()
+
+    dev = jax.devices()[0]
+    print(f"bench_infer: device={dev.platform}:{dev.device_kind}",
+          file=sys.stderr)
+
+    params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg))
+    N = BATCH * N_BATCHES
+    inputs = synthesize_multifuture_inputs(
+        cfg, num_traj=N, max_pred_len=T_PRED)
+    # force the static max decode length so every batch reuses one graph
+    inputs.pred_lengths[:] = T_PRED
+
+    def subset(n):
+        return inputs._replace(
+            traj_ids=inputs.traj_ids[:n],
+            obs_traj=inputs.obs_traj[:n],
+            obs_grid_class=inputs.obs_grid_class[:n],
+            obs_grid_target=[t[:n] for t in inputs.obs_grid_target],
+            obs_scene=inputs.obs_scene[:n],
+            pred_lengths=inputs.pred_lengths[:n])
+
+    def run(n, need_prob):
+        t0 = time.perf_counter()
+        out, prob = run_multifuture_inference(
+            params, subset(n), cfg, batch_size=BATCH, T_max=T_PRED,
+            need_prob=need_prob)
+        assert len(out) == n
+        return time.perf_counter() - t0
+
+    # warmup: compiles the decode graph and traces the host path
+    t0 = time.perf_counter()
+    run(BATCH * 2, need_prob=False)
+    print(f"bench_infer: warmup (compile) {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    # the driver re-traces its jitted closure once per RUN (seconds);
+    # differencing a 2-batch and a 10-batch run cancels that per-run
+    # constant and yields the steady-state per-batch rate a long real
+    # run converges to
+    rates = {}
+    for tag, need_prob in (("traj_only", False), ("with_prob", True)):
+        run(BATCH * 2, need_prob)            # warm this variant
+        t2 = run(BATCH * 2, need_prob)
+        t10 = run(N, need_prob)
+        rates[tag] = (N - BATCH * 2) / (t10 - t2)
+        print(f"bench_infer: {tag} 2-batch {t2:.1f}s, "
+              f"{N_BATCHES}-batch {t10:.1f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "offline_inference_throughput",
+        "value": round(rates["traj_only"], 2),
+        "unit": "traj/s",
+        "with_prob_value": round(rates["with_prob"], 2),
+        "batches": N_BATCHES,
+        "batch_size": BATCH,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,13 +12,32 @@ The reference has no serving subsystem at all; its closest path decodes
 one trajectory per batch-1 sess.run (reference:
 code/multifuture_inference.py:460-472).
 
+Measurement design (this host has ONE CPU core shared by clients,
+HTTP server, and engine — `len(os.sched_getaffinity(0)) == 1` — so
+multi-process load generation cannot add client capacity; the honest
+split is):
+
+* default / --greedy: the full HTTP path, with keep-alive connections
+  and the binary tensor transport (both cut per-request host CPU; JSON
+  float serialization was the dominant cost).  `cpu_frac` ~ 1.0 in the
+  output means the single host core is the binding constraint, and
+  `value` is then the ceiling of the whole stack on this host, not of
+  the engine.
+* --direct [--greedy]: closed-loop clients submit to the ServingEngine
+  in-process (no HTTP/JSON at all) — this measures the ENGINE's
+  capacity: batcher + device decode + on-device reconstruction +
+  resolver.  This is the number comparable to the raw batch-decode
+  bench.
+
 Prints ONE JSON line:
-    {"metric": "serving_throughput", "value": <req/s>, "unit": "req/s",
-     "clients": N, "errors": N, "mean_batch_occupancy": N,
-     "mean_latency_ms": N, "max_batch": N}
+    {"metric": "serving_throughput[_greedy][_direct]",
+     "value": <req/s>, "unit": "req/s", "clients": N, "errors": N,
+     "mean_batch_occupancy": N, "mean_latency_ms": N, "max_batch": N,
+     "cpu_frac": f}
 """
 
 import json
+import os
 import sys
 import threading
 import time
@@ -35,7 +54,34 @@ MAX_DELAY_MS = 20.0
 T_PRED = 25
 
 
-def main(greedy: bool = False):
+def run_load(make_predict, n_clients, reqs_per_client, obs_all):
+    """Closed-loop load: n_clients threads, each `reqs_per_client`
+    sequential predicts.  Returns (wall_s, cpu_s, errors)."""
+    errors = []
+    start = threading.Barrier(n_clients + 1)
+
+    def worker(k):
+        predict = make_predict(k)
+        start.wait()
+        for _ in range(reqs_per_client):
+            try:
+                predict(obs_all[k])
+            except Exception as exc:  # count, keep hammering
+                errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(k,), daemon=True)
+               for k in range(n_clients)]
+    for t in threads:
+        t.start()
+    start.wait()
+    t0, c0 = time.perf_counter(), time.process_time()
+    for t in threads:
+        t.join()
+    return (time.perf_counter() - t0, time.process_time() - c0,
+            errors)
+
+
+def main(greedy: bool = False, direct: bool = False):
     import jax
 
     from multiverse_tpu.config import MultiverseConfig
@@ -48,7 +94,10 @@ def main(greedy: bool = False):
         scene_grid_strides=(2, 4), use_grids=(True, False),
         use_beam_search=not greedy, beam_size=20, diverse_beam=not greedy,
         diverse_gamma=0.01, fix_num_timestep=1,
-        compute_dtype="bfloat16").validate()
+        compute_dtype="bfloat16",
+        # the mvt-serve default tier (int8 gate matmul; metric-neutral
+        # on end metrics, STATUS.md §int8 decision)
+        decode_quant="int8").validate()
     # greedy decodes ~13x faster per trajectory, so its saturation
     # batch is larger
     max_batch = MAX_BATCH * 4 if greedy else MAX_BATCH
@@ -57,53 +106,67 @@ def main(greedy: bool = False):
                         max_delay_ms=MAX_DELAY_MS, T_pred=T_PRED)
     dev = jax.devices()[0]
     print(f"bench_serve: device={dev.platform}:{dev.device_kind} "
+          f"host_cores={len(os.sched_getaffinity(0))} "
           f"warmup {eng.warmup():.1f}s", file=sys.stderr)
-
-    server = PredictionServer(eng, port=0)
-    server.start_background()
 
     n_clients = N_CLIENTS * 2 if greedy else N_CLIENTS
     rng = np.random.RandomState(0)
     obs_all = [np.stack([rng.uniform(0, cfg.video_w, cfg.obs_len),
                          rng.uniform(0, cfg.video_h, cfg.obs_len)], 1)
                for _ in range(n_clients)]
-    errors = []
 
-    def worker(k):
-        c = PredictionClient(port=server.port, timeout=120)
-        for _ in range(REQS_PER_CLIENT):
-            try:
-                out = c.predict(obs_all[k], pred_len=T_PRED)
+    if direct:
+        def make_predict(k):
+            def predict(obs):
+                out = eng.predict(obs, pred_len=T_PRED, timeout=300)
+                assert out.trajs.shape == (cfg.beam_size, T_PRED, 2)
+            return predict
+
+        wall, cpu, errors = run_load(
+            make_predict, n_clients, REQS_PER_CLIENT, obs_all)
+        stats = eng.stats.snapshot()
+        eng.close()
+    else:
+        server = PredictionServer(eng, port=0)
+        server.start_background()
+
+        def make_predict(k):
+            c = PredictionClient(port=server.port, timeout=300,
+                                 binary=True)
+
+            def predict(obs):
+                out = c.predict(obs, pred_len=T_PRED)
                 assert out["trajs"].shape == (cfg.beam_size, T_PRED, 2)
-            except Exception as exc:  # count, keep hammering
-                errors.append(exc)
+            return predict
 
-    threads = [threading.Thread(target=worker, args=(k,))
-               for k in range(n_clients)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t0
+        wall, cpu, errors = run_load(
+            make_predict, n_clients, REQS_PER_CLIENT, obs_all)
+        stats = eng.stats.snapshot()
+        server.httpd.shutdown()
+        server.httpd.server_close()
+        eng.close()
+
     total = n_clients * REQS_PER_CLIENT
-    stats = eng.stats.snapshot()
-    server.httpd.shutdown()
-    server.httpd.server_close()
-    eng.close()
-
+    metric = "serving_throughput"
+    if greedy:
+        metric += "_greedy"
+    if direct:
+        metric += "_direct"
     print(json.dumps({
-        "metric": ("serving_throughput_greedy" if greedy
-                   else "serving_throughput"),
-        "value": round(total / dt, 2),
+        "metric": metric,
+        "value": round(total / wall, 2),
         "unit": "req/s",
         "clients": n_clients,
         "errors": len(errors),
         "mean_batch_occupancy": stats["mean_batch_occupancy"],
         "mean_latency_ms": stats["mean_latency_ms"],
         "max_batch": max_batch,
+        # fraction of one host core consumed by the WHOLE stack
+        # (clients + server + engine share this process); ~1.0 on this
+        # 1-core host means the core, not the device, binds
+        "cpu_frac": round(cpu / wall, 3),
     }))
 
 
 if __name__ == "__main__":
-    main(greedy="--greedy" in sys.argv)
+    main(greedy="--greedy" in sys.argv, direct="--direct" in sys.argv)
