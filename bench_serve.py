@@ -109,7 +109,8 @@ def main(greedy: bool = False, direct: bool = False):
           f"host_cores={len(os.sched_getaffinity(0))} "
           f"warmup {eng.warmup():.1f}s", file=sys.stderr)
 
-    n_clients = N_CLIENTS * 2 if greedy else N_CLIENTS
+    n_clients = int(os.environ.get(
+        "BENCH_SERVE_CLIENTS", N_CLIENTS * 2 if greedy else N_CLIENTS))
     rng = np.random.RandomState(0)
     obs_all = [np.stack([rng.uniform(0, cfg.video_w, cfg.obs_len),
                          rng.uniform(0, cfg.video_h, cfg.obs_len)], 1)

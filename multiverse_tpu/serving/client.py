@@ -1,24 +1,83 @@
-"""Minimal stdlib client for the prediction server."""
+"""Minimal stdlib client for the prediction server.
+
+Holds one persistent keep-alive connection per instance (HTTP/1.1;
+reconnects transparently if the server closed an idle socket) and can
+request the binary tensor transport (``binary=True``) — the JSON
+round-trip of the K×T×2 trajectory tensor is the dominant per-request
+host cost at load, and raw float32 frames cut it ~10×.
+
+Error contract: non-200 responses raise ``urllib.error.HTTPError``
+with ``.code`` set, exactly like the urllib-based client this replaces.
+"""
 
 from __future__ import annotations
 
+import http.client
+import io
 import json
-import urllib.request
+import urllib.error
 from typing import Optional
 
 import numpy as np
 
+TENSOR_CONTENT_TYPE = "application/x-mvt-tensor"
+
 
 class PredictionClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 8500,
-                 timeout: float = 30.0):
-        self.base = f"http://{host}:{port}"
+                 timeout: float = 30.0, binary: bool = False):
+        self.host, self.port = host, int(port)
         self.timeout = timeout
+        self.binary = binary
+        self._conn: Optional[http.client.HTTPConnection] = None
+
+    # --------------------------------------------------------- plumbing
+
+    def close(self):
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+    def _roundtrip(self, method: str, path: str, body=None,
+                   headers=None):
+        """One request over the persistent connection.
+
+        A keep-alive socket the server has since closed surfaces as a
+        connection-level error on the NEXT request — retry once on a
+        fresh connection; errors on the retry propagate."""
+        for attempt in (0, 1):
+            try:
+                if self._conn is None:
+                    self._conn = http.client.HTTPConnection(
+                        self.host, self.port, timeout=self.timeout)
+                self._conn.request(method, path, body=body,
+                                   headers=headers or {})
+                resp = self._conn.getresponse()
+                data = resp.read()  # fully drain: keeps the conn reusable
+                if resp.will_close:
+                    self.close()
+                return resp.status, resp.getheader("Content-Type", ""), \
+                    data
+            except (http.client.HTTPException, ConnectionError,
+                    BrokenPipeError, OSError):
+                self.close()
+                if attempt:
+                    raise
+
+    def _check(self, status: int, path: str, data: bytes):
+        if status != 200:
+            raise urllib.error.HTTPError(
+                f"http://{self.host}:{self.port}{path}", status,
+                data.decode(errors="replace"), None, io.BytesIO(data))
 
     def _get(self, path: str) -> dict:
-        with urllib.request.urlopen(
-                self.base + path, timeout=self.timeout) as r:
-            return json.loads(r.read())
+        status, _, data = self._roundtrip("GET", path)
+        self._check(status, path, data)
+        return json.loads(data)
+
+    # -------------------------------------------------------------- API
 
     def healthy(self) -> bool:
         try:
@@ -34,6 +93,7 @@ class PredictionClient:
         obs_traj,
         scene_class_map=None,
         pred_len: Optional[int] = None,
+        binary: Optional[bool] = None,
     ) -> dict:
         """Returns {"trajs": [K][T][2], "logprobs": [K], "pred_len": T}
         with numpy arrays for the array fields."""
@@ -43,13 +103,29 @@ class PredictionClient:
                 scene_class_map).tolist()
         if pred_len is not None:
             payload["pred_len"] = int(pred_len)
-        req = urllib.request.Request(
-            self.base + "/v1/predict",
-            data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST")
-        with urllib.request.urlopen(req, timeout=self.timeout) as r:
-            out = json.loads(r.read())
+        headers = {"Content-Type": "application/json"}
+        if self.binary if binary is None else binary:
+            headers["Accept"] = TENSOR_CONTENT_TYPE
+        status, ctype, data = self._roundtrip(
+            "POST", "/v1/predict", body=json.dumps(payload).encode(),
+            headers=headers)
+        self._check(status, "/v1/predict", data)
+        if ctype.startswith(TENSOR_CONTENT_TYPE):
+            nl = data.index(b"\n")
+            head = json.loads(data[:nl])
+            ts = tuple(head["trajs_shape"])
+            n_traj = int(np.prod(ts)) * 4
+            trajs = np.frombuffer(
+                data, np.float32, count=int(np.prod(ts)),
+                offset=nl + 1).reshape(ts)
+            logprobs = np.frombuffer(
+                data, np.float32,
+                count=int(np.prod(head["logprobs_shape"])),
+                offset=nl + 1 + n_traj).reshape(
+                    tuple(head["logprobs_shape"]))
+            return {"trajs": trajs, "logprobs": logprobs,
+                    "pred_len": head["pred_len"]}
+        out = json.loads(data)
         out["trajs"] = np.asarray(out["trajs"], np.float32)
         out["logprobs"] = np.asarray(out["logprobs"], np.float32)
         return out

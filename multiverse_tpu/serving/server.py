@@ -13,6 +13,21 @@ Endpoints:
 The handler threads only do JSON I/O; all device work funnels through
 the engine's single batcher, so concurrent HTTP requests become one
 padded TPU batch (see :mod:`multiverse_tpu.serving.engine`).
+
+Transport notes (these dominate serving cost on the host, not the
+device):
+
+* connections are **keep-alive** (HTTP/1.1 + Content-Length on every
+  response), so closed-loop clients pay TCP setup once, not per
+  request;
+* a client sending ``Accept: application/x-mvt-tensor`` gets the
+  prediction as a **binary frame** instead of JSON: one JSON header
+  line (shape metadata) + raw little-endian float32 ``trajs`` bytes +
+  ``logprobs`` bytes.  Serializing the K×T×2 trajectory tensor as
+  JSON floats costs ~10× the CPU of ``ndarray.tobytes()`` and ~2.5×
+  the wire bytes — at four-digit req/s the host core, which the
+  reference never contends with (its driver is offline), is the
+  scarce resource.
 """
 
 from __future__ import annotations
@@ -27,8 +42,15 @@ import numpy as np
 from multiverse_tpu.serving.engine import ServingEngine
 
 
+TENSOR_CONTENT_TYPE = "application/x-mvt-tensor"
+
+
 def _make_handler(engine: ServingEngine):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: keep-alive connections (every response carries
+        # Content-Length, so persistence is safe)
+        protocol_version = "HTTP/1.1"
+
         # quiet the default per-request stderr logging
         def log_message(self, fmt, *args):
             pass
@@ -37,6 +59,23 @@ def _make_handler(engine: ServingEngine):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_tensor(self, result):
+            """Binary frame: JSON header line + raw f32 payloads."""
+            trajs = np.ascontiguousarray(result.trajs, np.float32)
+            logprobs = np.ascontiguousarray(
+                result.logprobs, np.float32)
+            header = json.dumps({
+                "trajs_shape": list(trajs.shape),
+                "logprobs_shape": list(logprobs.shape),
+                "pred_len": result.pred_len,
+            }).encode() + b"\n"
+            body = header + trajs.tobytes() + logprobs.tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", TENSOR_CONTENT_TYPE)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -63,11 +102,15 @@ def _make_handler(engine: ServingEngine):
                 result = engine.predict(
                     obs, scene_class_map=scene,
                     pred_len=req.get("pred_len"))
-                self._send(200, {
-                    "trajs": result.trajs.tolist(),
-                    "logprobs": result.logprobs.tolist(),
-                    "pred_len": result.pred_len,
-                })
+                if TENSOR_CONTENT_TYPE in \
+                        self.headers.get("Accept", ""):
+                    self._send_tensor(result)
+                else:
+                    self._send(200, {
+                        "trajs": result.trajs.tolist(),
+                        "logprobs": result.logprobs.tolist(),
+                        "pred_len": result.pred_len,
+                    })
             except (KeyError, ValueError, TypeError) as exc:
                 self._send(400, {"error": str(exc)})
             except Exception as exc:  # engine/device failure

@@ -211,6 +211,35 @@ def test_http_server_roundtrip(rng, beam_setup):
         server.httpd.server_close()
 
 
+def test_http_binary_transport_and_keepalive(rng, beam_setup):
+    """The binary tensor frame decodes to exactly the JSON payload, and
+    the persistent connection is actually reused across requests."""
+    cfg, _, eng = beam_setup
+    from multiverse_tpu.serving.client import PredictionClient
+    from multiverse_tpu.serving.server import PredictionServer
+
+    server = PredictionServer(eng, host="127.0.0.1", port=0)
+    server.start_background()
+    try:
+        client = PredictionClient(port=server.port, binary=True)
+        obs = _random_obs(rng, cfg, 1)[0]
+        out_json = client.predict(obs, pred_len=4, binary=False)
+        sock = client._conn.sock
+        assert sock is not None
+        out_bin = client.predict(obs, pred_len=4)   # binary, same conn
+        assert client._conn.sock is sock            # keep-alive reuse
+        np.testing.assert_allclose(
+            out_bin["trajs"], out_json["trajs"], atol=1e-6)
+        np.testing.assert_allclose(
+            out_bin["logprobs"], out_json["logprobs"], atol=1e-6)
+        assert out_bin["pred_len"] == out_json["pred_len"] == 4
+        assert client.healthy()                     # GET on same conn
+        client.close()
+    finally:
+        server.httpd.shutdown()
+        server.httpd.server_close()
+
+
 def test_close_semantics_and_error_counting(rng):
     """close() fails queued + late-submitted requests fast, and errors
     are counted per REQUEST (comparable to stats['requests'])."""
