@@ -54,6 +54,68 @@ MAX_DELAY_MS = 20.0
 T_PRED = 25
 
 
+def run_aio_load(port, n_clients, reqs_per_client, obs_all, beam_k,
+                 t_pred):
+    """Closed-loop load from ONE asyncio event loop: n_clients
+    coroutines, each holding a persistent connection and requesting the
+    binary tensor frame.  No client threads at all — on a small host
+    this removes the load generator's GIL/scheduler churn entirely."""
+    import asyncio
+    import json as _json
+
+    errors = []
+
+    async def client(k):
+        body = _json.dumps({
+            "obs_traj": obs_all[k].tolist(),
+            "pred_len": t_pred}).encode()
+        head = (f"POST /v1/predict HTTP/1.1\r\n"
+                f"Host: b\r\nContent-Type: application/json\r\n"
+                f"Accept: application/x-mvt-tensor\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode() + body
+        try:
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", port)
+        except OSError as exc:
+            errors.extend([exc] * reqs_per_client)
+            return
+        try:
+            for _ in range(reqs_per_client):
+                writer.write(head)
+                await writer.drain()
+                status = await reader.readline()
+                if b"200" not in status:
+                    errors.append(RuntimeError(status.decode()))
+                length = 0
+                while True:
+                    line = await reader.readline()
+                    if line in (b"\r\n", b""):
+                        break
+                    if line.lower().startswith(b"content-length:"):
+                        length = int(line.split(b":")[1])
+                payload = await reader.readexactly(length)
+                nl = payload.index(b"\n")
+                meta = _json.loads(payload[:nl])
+                trajs = np.frombuffer(
+                    payload, np.float32,
+                    count=int(np.prod(meta["trajs_shape"])),
+                    offset=nl + 1).reshape(meta["trajs_shape"])
+                assert trajs.shape == (beam_k, t_pred, 2)
+        except (OSError, asyncio.IncompleteReadError) as exc:
+            errors.append(exc)
+        finally:
+            writer.close()
+
+    async def drive():
+        await asyncio.gather(*[client(k) for k in range(n_clients)])
+
+    t0, c0 = time.perf_counter(), time.process_time()
+    asyncio.run(drive())
+    return (time.perf_counter() - t0, time.process_time() - c0,
+            errors)
+
+
 def run_load(make_predict, n_clients, reqs_per_client, obs_all):
     """Closed-loop load: n_clients threads, each `reqs_per_client`
     sequential predicts.  Returns (wall_s, cpu_s, errors)."""
@@ -81,7 +143,7 @@ def run_load(make_predict, n_clients, reqs_per_client, obs_all):
             errors)
 
 
-def main(greedy: bool = False, direct: bool = False):
+def main(greedy: bool = False, direct: bool = False, aio: bool = False):
     import jax
 
     from multiverse_tpu.config import MultiverseConfig
@@ -127,6 +189,16 @@ def main(greedy: bool = False, direct: bool = False):
             make_predict, n_clients, REQS_PER_CLIENT, obs_all)
         stats = eng.stats.snapshot()
         eng.close()
+    elif aio:
+        from multiverse_tpu.serving.aserver import AsyncPredictionServer
+
+        server = AsyncPredictionServer(eng, port=0)
+        server.start_background()
+        wall, cpu, errors = run_aio_load(
+            server.port, n_clients, REQS_PER_CLIENT, obs_all,
+            cfg.beam_size, T_PRED)
+        stats = eng.stats.snapshot()
+        server.close(close_engine=True)
     else:
         server = PredictionServer(eng, port=0)
         server.start_background()
@@ -153,6 +225,8 @@ def main(greedy: bool = False, direct: bool = False):
         metric += "_greedy"
     if direct:
         metric += "_direct"
+    if aio:
+        metric += "_aio"
     print(json.dumps({
         "metric": metric,
         "value": round(total / wall, 2),
@@ -170,4 +244,5 @@ def main(greedy: bool = False, direct: bool = False):
 
 
 if __name__ == "__main__":
-    main(greedy="--greedy" in sys.argv, direct="--direct" in sys.argv)
+    main(greedy="--greedy" in sys.argv, direct="--direct" in sys.argv,
+         aio="--aio" in sys.argv)

@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--greedy", action="store_true",
                         help="greedy single-future decode instead of "
                              "diverse beam")
+    parser.add_argument("--server_backend", default="asyncio",
+                        choices=("asyncio", "threads"),
+                        help="HTTP front end: one-event-loop asyncio "
+                             "(default; no per-connection threads) or "
+                             "the classic ThreadingHTTPServer")
     add_model_args(parser)
     return parser
 
@@ -94,11 +99,21 @@ def main(argv=None) -> None:
     dt = engine.warmup()
     print(f"mvt-serve: warm in {dt:.1f}s", file=sys.stderr)
 
-    server = PredictionServer(engine, host=args.host, port=args.port)
-    print(f"mvt-serve: listening on http://{args.host}:{server.port}",
-          file=sys.stderr)
+    if args.server_backend == "asyncio":
+        from multiverse_tpu.serving.aserver import AsyncPredictionServer
+
+        server = AsyncPredictionServer(
+            engine, host=args.host, port=args.port)
+        server.start_background()   # binds + reports the port
+    else:
+        server = PredictionServer(engine, host=args.host, port=args.port)
+    print(f"mvt-serve: listening on http://{args.host}:{server.port} "
+          f"({args.server_backend})", file=sys.stderr)
     try:
-        server.serve_forever()
+        if args.server_backend == "asyncio":
+            server.wait()
+        else:
+            server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:

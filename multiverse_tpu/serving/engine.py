@@ -55,9 +55,9 @@ class PredictionResult:
 
 class _Pending:
     __slots__ = ("obs_traj", "scene_onehot", "pred_len", "event",
-                 "result", "error", "t_submit")
+                 "result", "error", "t_submit", "on_done")
 
-    def __init__(self, obs_traj, scene_onehot, pred_len):
+    def __init__(self, obs_traj, scene_onehot, pred_len, on_done=None):
         self.obs_traj = obs_traj
         self.scene_onehot = scene_onehot  # [T_obs, SH, SW, C] uint8
         self.pred_len = pred_len
@@ -65,6 +65,14 @@ class _Pending:
         self.result: Optional[PredictionResult] = None
         self.error: Optional[Exception] = None
         self.t_submit = time.perf_counter()
+        # completion hook for event-loop front ends: called (from an
+        # engine thread) right after `event` is set, exactly once
+        self.on_done = on_done
+
+    def _finish(self):
+        self.event.set()
+        if self.on_done is not None:
+            self.on_done(self)
 
 
 @dataclass
@@ -270,8 +278,14 @@ class ServingEngine:
         obs_traj: np.ndarray,
         scene_class_map: Optional[np.ndarray] = None,
         pred_len: Optional[int] = None,
+        on_done=None,
     ) -> _Pending:
         """Enqueue one request; returns a waitable handle.
+
+        ``on_done(pending)`` — optional completion hook invoked from an
+        engine thread right after the handle's event is set (success,
+        failure, or close); lets event-loop front ends bridge without a
+        waiter thread.
 
         Args:
             obs_traj: [obs_len, 2] pixel trajectory.
@@ -292,7 +306,7 @@ class ServingEngine:
             raise ValueError(
                 f"pred_len {pl} outside [1, {self.T_pred}]")
         onehot = self._scene_onehot(scene_class_map)
-        pending = _Pending(obs, onehot, pl)
+        pending = _Pending(obs, onehot, pl, on_done=on_done)
         self._queue.put(pending)
         if self._stop.is_set():
             # close() may already have swept the queue — fail whatever
@@ -303,7 +317,7 @@ class ServingEngine:
                 except queue.Empty:
                     break
                 p.error = RuntimeError("engine is closed")
-                p.event.set()
+                p._finish()
         return pending
 
     def predict(
@@ -542,7 +556,7 @@ class ServingEngine:
                 trajs=np.ascontiguousarray(trajs, np.float32),
                 logprobs=logprobs, pred_len=pl)
             lats.append(now - r.t_submit)
-            r.event.set()
+            r._finish()
         self.stats.record_batch(len(reqs), lats)
 
     def _fail(self, reqs: List[_Pending], exc: Exception):
@@ -556,4 +570,4 @@ class ServingEngine:
             self.stats.errors += len(failed)
         for r in failed:
             r.error = exc
-            r.event.set()
+            r._finish()

@@ -321,3 +321,66 @@ def test_close_fails_inflight_when_resolver_stuck(rng):
         assert not h1.event.is_set()    # still held by the stuck batch
     finally:
         release.set()
+
+
+def test_async_http_server_roundtrip(rng, beam_setup):
+    """The asyncio front end serves the same wire contracts as the
+    threaded one: JSON + binary predict, healthz/stats, 400 on bad
+    input, concurrent clients coalescing through one engine — all on
+    ONE event loop (no per-connection server threads)."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    cfg, _, eng = beam_setup
+    from multiverse_tpu.serving.aserver import AsyncPredictionServer
+    from multiverse_tpu.serving.client import PredictionClient
+
+    server = AsyncPredictionServer(eng, port=0)
+    server.start_background()
+    try:
+        client = PredictionClient(port=server.port, binary=True)
+        assert client.healthy()
+        obs = _random_obs(rng, cfg, 1)[0]
+        direct = eng.predict(obs, pred_len=4)
+        out_bin = client.predict(obs, pred_len=4)
+        np.testing.assert_allclose(out_bin["trajs"], direct.trajs,
+                                   atol=1e-4)
+        sock = client._conn.sock
+        out_json = client.predict(obs, pred_len=4, binary=False)
+        assert client._conn.sock is sock        # keep-alive reuse
+        np.testing.assert_allclose(out_json["trajs"], direct.trajs,
+                                   atol=1e-4)
+        np.testing.assert_allclose(
+            out_bin["logprobs"], out_json["logprobs"], atol=1e-6)
+        assert client.stats()["requests"] >= 2
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/predict",
+            data=_json.dumps({"obs_traj": [[0, 0]]}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+        assert client.healthy()                 # still serving
+
+        outs, errs = [None] * 6, []
+
+        def w(k):
+            c = PredictionClient(port=server.port, binary=True)
+            try:
+                outs[k] = c.predict(_random_obs(rng, cfg, 1)[0],
+                                    pred_len=4)
+            except Exception as e:
+                errs.append(e)
+
+        ts = [threading.Thread(target=w, args=(k,)) for k in range(6)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs
+        assert all(o is not None and o["trajs"].shape ==
+                   (cfg.beam_size, 4, 2) for o in outs)
+        client.close()
+    finally:
+        server.close(close_engine=False)   # the fixture owns the engine
