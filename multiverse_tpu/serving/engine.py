@@ -30,12 +30,12 @@ import queue
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 
 from multiverse_tpu.config import MultiverseConfig
-from multiverse_tpu.geometry import grid_centers, rasterize_trajs_batch_np
+from multiverse_tpu.geometry import grid_centers
 from multiverse_tpu.models import Batch
 
 
@@ -51,6 +51,20 @@ class PredictionResult:
     trajs: np.ndarray
     logprobs: np.ndarray
     pred_len: int
+
+
+class _RawInputs(NamedTuple):
+    """Host->device payload for one batch: raw pixel trajectories.
+
+    Grid rasterization (cell ids + dense offsets) happens INSIDE the
+    jitted step — uploading [B, T_obs, 2] floats instead of the dense
+    [B, T_obs, h, w, 2] target maps cuts per-batch host->device bytes
+    ~600x on the slow tunnel link."""
+
+    obs_xy: object       # [B, T_obs, 2] float32
+    obs_scene: object    # [B, T_obs] int32 rows into scene_feat
+    scene_feat: object   # [F, SH, SW, C] uint8
+    pred_length: object  # [B] int32
 
 
 class _Pending:
@@ -144,6 +158,7 @@ class ServingEngine:
         mesh=None,
     ):
         import jax
+        from jax.sharding import PartitionSpec as P
 
         from multiverse_tpu.inference import beam_forward, greedy_forward
 
@@ -174,42 +189,73 @@ class ServingEngine:
         else:
             self._params = jax.device_put(params)
 
-        # The serving step reconstructs trajectories ON DEVICE and
-        # returns only [B, K, T, 2] points + [B, K] logprobs (~300 KB
-        # at full size).  Fetching the raw beam outputs instead would
-        # move the [B, K, T, HW] logits tensor (~73 MB at full size)
-        # to the host on every batch — measured to dominate serving
-        # latency by an order of magnitude.
+        # The serving step RASTERIZES ON DEVICE and reconstructs ON
+        # DEVICE: the host uploads raw [B, T_obs, 2] trajectories
+        # (~16 KB at greedy max_batch=256) and downloads [B, K, T, 2]
+        # points (~300 KB at full size).  Building the dense regression
+        # input on the host instead would upload [B, T_obs, h, w, 2]
+        # (~9.4 MB per greedy batch) over the slow host link, and
+        # fetching raw beam outputs would download the [B, K, T, HW]
+        # logits tensor (~73 MB) — both measured to dominate serving
+        # latency.  The grid math is a broadcast subtract + ceil on the
+        # VPU: effectively free next to the decode.
         import jax.numpy as jnp
 
+        from multiverse_tpu.geometry import xy_to_cell
         from multiverse_tpu.inference import (
             reconstruct_beam_trajs,
             reconstruct_greedy_trajs,
         )
 
         centers_j = jnp.asarray(self._centers, jnp.float32)
+        centers_hw = jnp.asarray(
+            grid_centers(cfg.video_h, cfg.video_w, h, w), jnp.float32)
+        grids = cfg.scene_grids
 
-        def beam_step(p, b):
-            beam, reg_out = beam_forward(p, b, self.cfg,
+        def device_batch(raw: "_RawInputs") -> Batch:
+            cls = jnp.stack(
+                [xy_to_cell(raw.obs_xy, cfg.video_h, cfg.video_w,
+                            gh, gw) for (gh, gw) in grids],
+                axis=1)                                  # [B, S, T]
+            tgt0 = (raw.obs_xy[:, :, None, None, :]
+                    - centers_hw[None, None])            # [B,T,h,w,2]
+            return Batch(
+                obs_grid_class=cls,
+                obs_grid_target_all=(tgt0,),
+                obs_scene=raw.obs_scene,
+                scene_feat=raw.scene_feat,
+                pred_length=raw.pred_length,
+            )
+
+        def beam_step(p, raw):
+            beam, reg_out = beam_forward(p, device_batch(raw), self.cfg,
                                          T_pred=self.T_pred)
             trajs = reconstruct_beam_trajs(beam.ids, reg_out, centers_j)
             return trajs, beam.logprobs                 # [B, K, T, 2]
 
-        def greedy_step(p, b):
+        def greedy_step(p, raw):
             logits, reg_out = greedy_forward(
-                p, b, self.cfg, T_pred=self.T_pred)
+                p, device_batch(raw), self.cfg, T_pred=self.T_pred)
             return reconstruct_greedy_trajs(
                 logits, reg_out, centers_j)             # [B, T, 2]
 
         local_step = greedy_step if self.greedy else beam_step
+        self._raw_specs = _RawInputs(
+            obs_xy=P("data"), obs_scene=P("data"),
+            scene_feat=P(),            # indexed globally by obs_scene
+            pred_length=P("data"))
         if mesh is not None and mesh.size > 1:
             # per-chip SPMD via shard_map: the batch slice decodes with
             # the full fused-kernel path on every chip (GSPMD cannot
             # partition pallas_call)
-            from multiverse_tpu.parallel.mesh import shard_map_infer
+            from jax.experimental.shard_map import shard_map
 
-            def sharded_step(p, b):
-                return shard_map_infer(local_step, mesh, b)(p, b)
+            def sharded_step(p, raw):
+                return shard_map(
+                    local_step, mesh=mesh,
+                    in_specs=(P(), self._raw_specs),
+                    out_specs=P("data"),
+                    check_rep=False)(p, raw)
 
             self._step = jax.jit(sharded_step)
         else:
@@ -442,26 +488,19 @@ class ServingEngine:
             return []
         return batch
 
-    def _build_batch(self, reqs: List[_Pending]) -> Batch:
-        """Assemble the padded device batch, vectorized across requests
-        — one rasterization call for the whole batch instead of one
-        numpy round-trip per request (the per-request loop was the
-        dominant batcher-thread cost at three-digit req/s); pad slots
-        repeat the last real request."""
+    def _build_batch(self, reqs: List[_Pending]) -> _RawInputs:
+        """Assemble the padded host payload: raw trajectories only —
+        grid rasterization runs inside the jitted step on device, so
+        the batcher's host work is a handful of small array fills and
+        the upload is ~16 KB instead of megabytes of dense target maps.
+        Pad slots repeat the last real request."""
         cfg = self.cfg
         B, T_obs = self.max_batch, cfg.obs_len
-        i = cfg.active_scales[0]
         R = len(reqs)
 
-        obs = np.stack([r.obs_traj for r in reqs])      # [R, T_obs, 2]
-        cls_r, tgt_r = rasterize_trajs_batch_np(
-            obs, cfg.video_h, cfg.video_w, cfg.scene_grids, i)
-        cls = np.empty((B, cfg.num_scales, T_obs), np.int32)
-        cls[:R] = cls_r
-        cls[R:] = cls_r[-1]
-        tgt0 = np.empty((B,) + tgt_r.shape[1:], np.float32)
-        tgt0[:R] = tgt_r
-        tgt0[R:] = tgt_r[-1]
+        obs_xy = np.empty((B, T_obs, 2), np.float32)
+        obs_xy[:R] = [r.obs_traj for r in reqs]
+        obs_xy[R:] = obs_xy[R - 1]
 
         obs_scene = np.arange(B * T_obs, dtype=np.int32).reshape(
             B, T_obs)
@@ -484,9 +523,8 @@ class ServingEngine:
                 last = scene_rows[(R - 1) * T_obs:R * T_obs]
                 for a in range(R, B):
                     scene_rows[a * T_obs:(a + 1) * T_obs] = last
-        return Batch(
-            obs_grid_class=cls,
-            obs_grid_target_all=(tgt0,),
+        return _RawInputs(
+            obs_xy=obs_xy,
             obs_scene=obs_scene,
             scene_feat=scene_rows,
             pred_length=pred_lens,
@@ -505,9 +543,13 @@ class ServingEngine:
             try:
                 batch = self._build_batch(reqs)
                 if self._mesh is not None:
-                    from multiverse_tpu.parallel import shard_batch
+                    import jax
+                    from jax.sharding import NamedSharding
 
-                    batch = shard_batch(self._mesh, batch)
+                    batch = jax.tree.map(
+                        lambda x, s: jax.device_put(
+                            x, NamedSharding(self._mesh, s)),
+                        batch, self._raw_specs)
                 out = self._step(self._params, batch)
             except Exception as exc:  # resolve waiters, keep serving
                 self._slots.release()
