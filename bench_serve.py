@@ -165,7 +165,9 @@ def main(greedy: bool = False, direct: bool = False, aio: bool = False):
     max_batch = MAX_BATCH * 4 if greedy else MAX_BATCH
     params = init_params(jax.random.PRNGKey(0), cfg)
     eng = ServingEngine(params, cfg, max_batch=max_batch,
-                        max_delay_ms=MAX_DELAY_MS, T_pred=T_PRED)
+                        max_delay_ms=MAX_DELAY_MS, T_pred=T_PRED,
+                        inflight_slots=int(os.environ.get(
+                            "BENCH_SERVE_SLOTS", "2")))
     dev = jax.devices()[0]
     print(f"bench_serve: device={dev.platform}:{dev.device_kind} "
           f"host_cores={len(os.sched_getaffinity(0))} "

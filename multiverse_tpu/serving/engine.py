@@ -156,6 +156,7 @@ class ServingEngine:
         max_delay_ms: float = 5.0,
         T_pred: Optional[int] = None,
         mesh=None,
+        inflight_slots: int = 2,
     ):
         import jax
         from jax.sharding import PartitionSpec as P
@@ -292,7 +293,10 @@ class ServingEngine:
         # static-shape compiled graph every batch costs the same device
         # time, so occupancy is throughput.
         self._inflight: "queue.Queue" = queue.Queue()
-        self._slots = threading.BoundedSemaphore(2)
+        # in-flight device batches (computing + queued): 2 keeps the
+        # chip busy locally; a high-latency remote/tunneled device can
+        # hide more dispatch round-trips with 3
+        self._slots = threading.BoundedSemaphore(max(1, inflight_slots))
         self._batcher = threading.Thread(
             target=self._batcher_loop, name="mvt-serving-batcher",
             daemon=True)
