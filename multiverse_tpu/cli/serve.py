@@ -57,19 +57,28 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def tpu_serving_overrides(raw_argv, backend) -> dict:
+    """Serving default on TPU: bf16 + int8 gate matmul — decided on END
+    metrics (8-seed minADE/minFDE/NLL deltas vs f32 are zero-mean and
+    inside run noise, STATUS.md §int8 decision), 1.38x the bf16 decode.
+    Explicit --compute_dtype/--decode_quant flags override; non-TPU
+    backends keep the exact f32 parity path."""
+    def _explicit(flag: str) -> bool:
+        # both spellings count: "--flag value" and "--flag=value"
+        return any(a == flag or a.startswith(flag + "=")
+                   for a in raw_argv)
+
+    if (backend == "tpu"
+            and not _explicit("--compute_dtype")
+            and not _explicit("--decode_quant")):
+        return dict(compute_dtype="bfloat16", decode_quant="int8")
+    return {}
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    # serving default on TPU: bf16 + int8 gate matmul — decided on END
-    # metrics (8-seed minADE/minFDE/NLL deltas vs f32 are zero-mean and
-    # inside run noise, STATUS.md §int8 decision), 1.38x the bf16
-    # decode.  Explicit --compute_dtype/--decode_quant flags override;
-    # non-TPU backends keep the exact f32 parity path.
     raw_argv = sys.argv[1:] if argv is None else argv
-    overrides = {}
-    if (jax.default_backend() == "tpu"
-            and "--compute_dtype" not in raw_argv
-            and "--decode_quant" not in raw_argv):
-        overrides = dict(compute_dtype="bfloat16", decode_quant="int8")
+    overrides = tpu_serving_overrides(raw_argv, jax.default_backend())
     cfg = config_from_args(args).replace(
         use_beam_search=not args.greedy, **overrides).validate()
 

@@ -86,7 +86,14 @@ class _Pending:
     def _finish(self):
         self.event.set()
         if self.on_done is not None:
-            self.on_done(self)
+            try:
+                self.on_done(self)
+            except Exception:
+                # a front-end hook failure (e.g. its event loop already
+                # closed mid-shutdown) must not propagate into the
+                # engine thread delivering the rest of the batch — and
+                # from inside _fail it would kill the resolver outright
+                pass
 
 
 @dataclass

@@ -290,6 +290,55 @@ def test_fail_skips_already_resolved_requests(rng):
         eng.close()
 
 
+def test_on_done_hook_failure_is_contained(rng):
+    """A raising on_done hook (e.g. an event loop closed mid-shutdown)
+    must not poison the batch it rides in or kill the resolver thread:
+    the hook's own request still resolves, co-batched requests resolve,
+    and the engine keeps serving afterwards."""
+    cfg = tiny_config(use_beam_search=True, beam_size=2,
+                      diverse_beam=True, diverse_gamma=0.01,
+                      fix_num_timestep=1)
+    _, eng = _engine(cfg, max_batch=2, max_delay_ms=20.0, T_pred=3)
+    eng.warmup()
+    obs = _random_obs(rng, cfg, 2)
+    try:
+        def bad_hook(pending):
+            raise RuntimeError("loop closed")
+
+        h1 = eng.submit(obs[0], on_done=bad_hook)
+        h2 = eng.submit(obs[1])
+        for h in (h1, h2):
+            assert h.event.wait(10)
+            assert h.error is None and h.result is not None
+        assert eng._resolver.is_alive()
+        assert eng.stats.snapshot()["errors"] == 0
+        # and the resolver still lands later batches
+        out = eng.predict(obs[0], timeout=10)
+        assert out.trajs.shape[0] == cfg.beam_size
+    finally:
+        eng.close()
+
+
+def test_tpu_serving_overrides_flag_spellings():
+    """The TPU bf16+int8 serving default must yield to an explicit
+    --compute_dtype/--decode_quant in EITHER argparse spelling
+    ("--flag value" and "--flag=value"), and never fire off-TPU."""
+    from multiverse_tpu.cli.serve import tpu_serving_overrides
+
+    base = ["out", "model", "--port", "8500"]
+    assert tpu_serving_overrides(base, "tpu") == dict(
+        compute_dtype="bfloat16", decode_quant="int8")
+    assert tpu_serving_overrides(base, "cpu") == {}
+    for explicit in (["--compute_dtype", "float32"],
+                     ["--compute_dtype=float32"],
+                     ["--decode_quant", "none"],
+                     ["--decode_quant=none"]):
+        assert tpu_serving_overrides(base + explicit, "tpu") == {}
+    # a flag whose value merely mentions the name is not an override
+    assert tpu_serving_overrides(
+        base + ["--load_from", "ckpt--compute_dtype"], "tpu") != {}
+
+
 def test_close_fails_inflight_when_resolver_stuck(rng):
     """If the resolver cannot land in-flight batches before close()'s
     join timeout, their waiters are failed instead of being left to
