@@ -155,7 +155,12 @@ class AsyncPredictionServer:
                         break
                     k, _, v = line.decode("latin-1").partition(":")
                     headers[k.strip().lower()] = v.strip()
-                length = int(headers.get("content-length", "0"))
+                try:
+                    length = int(headers.get("content-length", "0"))
+                except ValueError:
+                    length = -1
+                if len(headers) >= 256:     # malformed/abusive stream
+                    length = -1
                 if not 0 <= length <= _MAX_BODY:
                     writer.write(_json_response(
                         400, {"error": "bad content-length"}, False))

@@ -431,5 +431,17 @@ def test_async_http_server_roundtrip(rng, beam_setup):
         assert all(o is not None and o["trajs"].shape ==
                    (cfg.beam_size, 4, 2) for o in outs)
         client.close()
+
+        # a malformed Content-Length gets a 400 (not a silent drop)
+        # and the server keeps serving afterwards
+        import socket as _socket
+        with _socket.create_connection(
+                ("127.0.0.1", server.port), timeout=10) as s:
+            s.sendall(b"POST /v1/predict HTTP/1.1\r\n"
+                      b"Content-Length: banana\r\n\r\n")
+            assert b" 400 " in s.recv(4096)
+        c2 = PredictionClient(port=server.port)
+        assert c2.healthy()
+        c2.close()
     finally:
         server.close(close_engine=False)   # the fixture owns the engine
