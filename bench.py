@@ -21,6 +21,11 @@ bench_baseline.py — this repo's own flagship decode at batch 1, f32,
 pinned to one CPU core, a strict upper bound on the TF1-CPU figure —
 and recorded in BASELINE_MEASURED.json (0.0644 traj/s).
 
+Each tier is timed as best-of-N windows (BENCH_WINDOWS, default 4)
+because the shared tunneled chip intermittently degrades 2-20x for
+whole windows; the per-window rates are emitted in the artifact so a
+flapped run is visible rather than silently recorded.
+
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "traj/s", "vs_baseline": N}
 """
@@ -49,6 +54,27 @@ BATCH = 64
 T_PRED = 25
 WARMUP = 2
 ITERS = 8
+# The tunneled chip is shared and intermittently degrades 2-20x for
+# windows of seconds-to-minutes (same binary measured 6x apart across
+# windows — STATUS.md measurement note).  A single timing window can
+# therefore land entirely inside a flap, so each tier is measured as
+# best-of-N windows with short gaps; the per-window rates are emitted
+# alongside so a degraded run is visible in the artifact.
+WINDOWS = int(os.environ.get("BENCH_WINDOWS", "4"))
+WINDOW_GAP_S = float(os.environ.get("BENCH_WINDOW_GAP_S", "1.5"))
+
+
+def _best_window(run_once, iters=ITERS, windows=WINDOWS):
+    """Best-of-N windowed throughput (traj/s) + the per-window rates."""
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run_once()
+        rates.append(BATCH * iters / (time.perf_counter() - t0))
+        if w + 1 < windows:
+            time.sleep(WINDOW_GAP_S)
+    return max(rates), [round(r, 1) for r in rates]
 
 
 def _check_diversity_penalty_fusion(jax):
@@ -161,19 +187,15 @@ def main():
     for _ in range(WARMUP - 1):
         sync(step(params, batch))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(params, batch)
-        sync(out)
-    dt = time.perf_counter() - t0
-    traj_per_sec = BATCH * ITERS / dt
+    traj_per_sec, bf16_windows = _best_window(
+        lambda: sync(step(params, batch)))
 
     # analytic FLOPs of the decode batch (multiverse_tpu.flops —
     # matmul/conv MACs only, so achieved TFLOP/s is a floor) and the
     # chip's MEASURED matmul roofline, emitted as artifact fields
     # backing the "decode is compute-bound" claim
     step_flops = beam_decode_flops(cfg, BATCH, T_PRED)
-    tflops = step_flops * ITERS / dt / 1e12
+    tflops = step_flops * traj_per_sec / BATCH / 1e12
     roofline = (_measure_matmul_roofline(jax)
                 if dev.platform == "tpu" else None)
 
@@ -191,16 +213,15 @@ def main():
     # default — with bf16 kept as a field (and as the exact-parity
     # fallback off-TPU).
     int8_traj_per_sec = None
+    int8_windows = None
     if dev.platform == "tpu":
         cfg8 = cfg.replace(decode_quant="int8")
         step8 = jax.jit(
             lambda p, b: beam_forward(p, b, cfg8, T_pred=T_PRED))
         sync(step8(params, batch))
         sync(step8(params, batch))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            sync(step8(params, batch))
-        int8_traj_per_sec = BATCH * ITERS / (time.perf_counter() - t0)
+        int8_traj_per_sec, int8_windows = _best_window(
+            lambda: sync(step8(params, batch)))
 
     headline = int8_traj_per_sec or traj_per_sec
     record = {
@@ -211,7 +232,12 @@ def main():
         "decode_quant": "int8" if int8_traj_per_sec else "none",
         "bf16_value": round(traj_per_sec, 2),
         "bf16_tflops": round(tflops, 1),
+        # best-of-N windows per tier (shared-chip flap guard); the
+        # raw per-window rates make a degraded run visible
+        "bf16_windows": bf16_windows,
     }
+    if int8_windows is not None:
+        record["int8_windows"] = int8_windows
     if roofline is not None:
         record["roofline_tflops"] = round(roofline, 1)
         record["bf16_mfu_vs_roofline"] = round(tflops / roofline, 3)

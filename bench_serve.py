@@ -32,7 +32,8 @@ split is):
 Prints ONE JSON line:
     {"metric": "serving_throughput[_greedy][_direct]",
      "value": <req/s>, "unit": "req/s", "clients": N, "errors": N,
-     "mean_batch_occupancy": N, "mean_latency_ms": N, "max_batch": N,
+     "mean_batch_occupancy": N, "mean_latency_ms": N,
+     "p50_latency_ms": N, "p99_latency_ms": N, "max_batch": N,
      "cpu_frac": f}
 """
 
@@ -64,6 +65,7 @@ def run_aio_load(port, n_clients, reqs_per_client, obs_all, beam_k,
     import json as _json
 
     errors = []
+    latencies = []
 
     async def client(k):
         body = _json.dumps({
@@ -82,6 +84,7 @@ def run_aio_load(port, n_clients, reqs_per_client, obs_all, beam_k,
             return
         try:
             for _ in range(reqs_per_client):
+                r0 = time.perf_counter()
                 writer.write(head)
                 await writer.drain()
                 status = await reader.readline()
@@ -95,6 +98,7 @@ def run_aio_load(port, n_clients, reqs_per_client, obs_all, beam_k,
                     if line.lower().startswith(b"content-length:"):
                         length = int(line.split(b":")[1])
                 payload = await reader.readexactly(length)
+                latencies.append(time.perf_counter() - r0)
                 nl = payload.index(b"\n")
                 meta = _json.loads(payload[:nl])
                 trajs = np.frombuffer(
@@ -113,21 +117,24 @@ def run_aio_load(port, n_clients, reqs_per_client, obs_all, beam_k,
     t0, c0 = time.perf_counter(), time.process_time()
     asyncio.run(drive())
     return (time.perf_counter() - t0, time.process_time() - c0,
-            errors)
+            errors, latencies)
 
 
 def run_load(make_predict, n_clients, reqs_per_client, obs_all):
     """Closed-loop load: n_clients threads, each `reqs_per_client`
-    sequential predicts.  Returns (wall_s, cpu_s, errors)."""
+    sequential predicts.  Returns (wall_s, cpu_s, errors, latencies)."""
     errors = []
+    latencies = []
     start = threading.Barrier(n_clients + 1)
 
     def worker(k):
         predict = make_predict(k)
         start.wait()
         for _ in range(reqs_per_client):
+            r0 = time.perf_counter()
             try:
                 predict(obs_all[k])
+                latencies.append(time.perf_counter() - r0)
             except Exception as exc:  # count, keep hammering
                 errors.append(exc)
 
@@ -140,7 +147,7 @@ def run_load(make_predict, n_clients, reqs_per_client, obs_all):
     for t in threads:
         t.join()
     return (time.perf_counter() - t0, time.process_time() - c0,
-            errors)
+            errors, latencies)
 
 
 def main(greedy: bool = False, direct: bool = False, aio: bool = False):
@@ -187,7 +194,7 @@ def main(greedy: bool = False, direct: bool = False, aio: bool = False):
                 assert out.trajs.shape == (cfg.beam_size, T_PRED, 2)
             return predict
 
-        wall, cpu, errors = run_load(
+        wall, cpu, errors, lats = run_load(
             make_predict, n_clients, REQS_PER_CLIENT, obs_all)
         stats = eng.stats.snapshot()
         eng.close()
@@ -196,7 +203,7 @@ def main(greedy: bool = False, direct: bool = False, aio: bool = False):
 
         server = AsyncPredictionServer(eng, port=0)
         server.start_background()
-        wall, cpu, errors = run_aio_load(
+        wall, cpu, errors, lats = run_aio_load(
             server.port, n_clients, REQS_PER_CLIENT, obs_all,
             cfg.beam_size, T_PRED)
         stats = eng.stats.snapshot()
@@ -214,7 +221,7 @@ def main(greedy: bool = False, direct: bool = False, aio: bool = False):
                 assert out["trajs"].shape == (cfg.beam_size, T_PRED, 2)
             return predict
 
-        wall, cpu, errors = run_load(
+        wall, cpu, errors, lats = run_load(
             make_predict, n_clients, REQS_PER_CLIENT, obs_all)
         stats = eng.stats.snapshot()
         server.httpd.shutdown()
@@ -237,6 +244,13 @@ def main(greedy: bool = False, direct: bool = False, aio: bool = False):
         "errors": len(errors),
         "mean_batch_occupancy": stats["mean_batch_occupancy"],
         "mean_latency_ms": stats["mean_latency_ms"],
+        # client-observed latency (queueing + decode + transport) —
+        # closed-loop, so the tail reflects batching waves, not
+        # open-loop overload
+        "p50_latency_ms": round(
+            float(np.percentile(lats, 50)) * 1e3, 1) if lats else None,
+        "p99_latency_ms": round(
+            float(np.percentile(lats, 99)) * 1e3, 1) if lats else None,
         "max_batch": max_batch,
         # fraction of one host core consumed by the WHOLE stack
         # (clients + server + engine share this process); ~1.0 on this
