@@ -125,7 +125,10 @@ class AsyncPredictionServer:
             def _shutdown():
                 for task in asyncio.all_tasks(self._loop):
                     task.cancel()
-            self._loop.call_soon_threadsafe(_shutdown)
+            try:
+                self._loop.call_soon_threadsafe(_shutdown)
+            except RuntimeError:
+                pass   # loop stopped between the check and the call
             self._stopped.wait(5)
         if self._thread is not None:
             self._thread.join(timeout=5)
@@ -149,12 +152,21 @@ class AsyncPredictionServer:
                     break
                 method, path = parts[0], parts[1]
                 headers = {}
-                while True:
-                    line = await reader.readline()
-                    if line in (b"\r\n", b"\n", b""):
-                        break
-                    k, _, v = line.decode("latin-1").partition(":")
-                    headers[k.strip().lower()] = v.strip()
+                try:
+                    while True:
+                        line = await reader.readline()
+                        if line in (b"\r\n", b"\n", b""):
+                            break
+                        k, _, v = line.decode("latin-1").partition(":")
+                        headers[k.strip().lower()] = v.strip()
+                except (ValueError, asyncio.LimitOverrunError):
+                    # a header line beyond the stream's 64 KB line
+                    # limit — reject rather than die with an unhandled
+                    # task exception (the rest of the stream is
+                    # unframed garbage, so close the connection)
+                    writer.write(_json_response(
+                        400, {"error": "header line too long"}, False))
+                    break
                 try:
                     length = int(headers.get("content-length", "0"))
                 except ValueError:

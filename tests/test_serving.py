@@ -440,6 +440,14 @@ def test_async_http_server_roundtrip(rng, beam_setup):
             s.sendall(b"POST /v1/predict HTTP/1.1\r\n"
                       b"Content-Length: banana\r\n\r\n")
             assert b" 400 " in s.recv(4096)
+        # a header line past the asyncio stream's 64 KB line limit
+        # raises ValueError inside readline — must come back as a 400,
+        # not an unhandled task exception
+        with _socket.create_connection(
+                ("127.0.0.1", server.port), timeout=10) as s:
+            s.sendall(b"POST /v1/predict HTTP/1.1\r\n"
+                      b"X-Junk: " + b"a" * (80 * 1024) + b"\r\n\r\n")
+            assert b" 400 " in s.recv(4096)
         c2 = PredictionClient(port=server.port)
         assert c2.healthy()
         c2.close()
