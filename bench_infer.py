@@ -66,11 +66,11 @@ def main():
             obs_scene=inputs.obs_scene[:n],
             pred_lengths=inputs.pred_lengths[:n])
 
-    def run(n, need_prob):
+    def run(n, need_prob, prob_fetch_dtype="float32"):
         t0 = time.perf_counter()
         out, prob = run_multifuture_inference(
             params, subset(n), cfg, batch_size=BATCH, T_max=T_PRED,
-            need_prob=need_prob)
+            need_prob=need_prob, prob_fetch_dtype=prob_fetch_dtype)
         assert len(out) == n
         return time.perf_counter() - t0
 
@@ -85,10 +85,17 @@ def main():
     # constant and yields the steady-state per-batch rate a long real
     # run converges to
     rates = {}
-    for tag, need_prob in (("traj_only", False), ("with_prob", True)):
-        run(BATCH * 2, need_prob)            # warm this variant
-        t2 = run(BATCH * 2, need_prob)
-        t10 = run(N, need_prob)
+    for tag, need_prob, fetch_dt in (
+            ("traj_only", False, "float32"),
+            ("with_prob", True, "float32"),
+            # opt-in f16 logit transfer (--prob_fetch_dtype float16):
+            # halves the ~73 MB/batch .prob.p payload; the wall-clock
+            # win is link-dependent (a compressing tunnel sees ~none,
+            # an uncompressed PCIe link the full 2x — STATUS.md)
+            ("with_prob_f16", True, "float16")):
+        run(BATCH * 2, need_prob, fetch_dt)  # warm this variant
+        t2 = run(BATCH * 2, need_prob, fetch_dt)
+        t10 = run(N, need_prob, fetch_dt)
         rates[tag] = (N - BATCH * 2) / (t10 - t2)
         print(f"bench_infer: {tag} 2-batch {t2:.1f}s, "
               f"{N_BATCHES}-batch {t10:.1f}s", file=sys.stderr)
@@ -98,6 +105,7 @@ def main():
         "value": round(rates["traj_only"], 2),
         "unit": "traj/s",
         "with_prob_value": round(rates["with_prob"], 2),
+        "with_prob_f16_value": round(rates["with_prob_f16"], 2),
         "batches": N_BATCHES,
         "batch_size": BATCH,
     }))

@@ -28,6 +28,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("multifuture_path", help="GT future pickles")
     parser.add_argument("output_file")
     parser.add_argument("--save_prob_file", default=None)
+    parser.add_argument(
+        "--prob_fetch_dtype", default="float32",
+        choices=["float32", "float16"],
+        help="device->host dtype for the [N,K,T,HW] .prob.p logit "
+             "fetch; float16 halves the payload bytes (win is "
+             "link-dependent) at a measured ~1e-5 grid-NLL cost — "
+             "the pickle still stores f32")
     parser.add_argument("--obs_length", type=int, default=8)
     parser.add_argument("--num_out", type=int, default=20)
     parser.add_argument("--greedy", action="store_true")
@@ -102,6 +109,7 @@ def main(argv=None) -> None:
         center_only=args.center_only,
         # the [N,K,T,HW] grid-logit fetch only pays for .prob.p
         need_prob=args.save_prob_file is not None,
+        prob_fetch_dtype=args.prob_fetch_dtype,
     )
     save_outputs(output_data, beam_prob,
                  args.output_file, args.save_prob_file)

@@ -434,6 +434,7 @@ def run_multifuture_inference(
     center_only: bool = False,
     step_fn=None,
     need_prob: bool = True,
+    prob_fetch_dtype: str = "float32",
 ) -> Tuple[Dict[str, list], Dict[str, tuple]]:
     """Decode every trajectory; return (output_data, beam_prob) in the
     reference pickle formats (reference:
@@ -448,6 +449,18 @@ def run_multifuture_inference(
     (beam_prob then returns empty).  A caller-supplied `step_fn`
     (returning the raw (BeamOutputs, reg_out)) uses the legacy
     host-side reconstruction.
+
+    prob_fetch_dtype="float16" casts the beam-logit tensor on device
+    before the fetch and back to f32 on the host, halving the .prob.p
+    payload's bytes (the path is transfer-bound; the win is
+    link-dependent — a compressing tunnel sees little, an uncompressed
+    PCIe link the full 2x — STATUS.md §f16 prob fetch); the pickle
+    contract stays f32.  The logits are
+    bounded class scores (|logit|max ~21 on a trained checkpoint, f16
+    rounding error <= 7.8e-3), so the round-trip perturbs the
+    evaluator's grid NLL by ~1e-5 (measured on a full-size synthetic
+    checkpoint, STATUS.md §f16 prob fetch) — opt-in because the stored
+    values are no longer bit-identical to the on-device f32 path.
     """
     cfg = cfg.replace(use_beam_search=not greedy).validate()
     i = cfg.active_scales[0]
@@ -468,11 +481,14 @@ def run_multifuture_inference(
 
             step_fn = jax.jit(_greedy_step)
         else:
+            fetch_dt = jnp.float16 \
+                if prob_fetch_dtype == "float16" else jnp.float32
+
             def _beam_step(p, b):
                 beam, reg_out = beam_forward(p, b, cfg, T_pred=T)
                 trajs = reconstruct_beam_trajs(
                     beam.ids, reg_out, centers_j, center_only)
-                return trajs, beam.logprobs, beam.logits
+                return trajs, beam.logprobs, beam.logits.astype(fetch_dt)
 
             step_fn = jax.jit(_beam_step)
 
@@ -489,6 +505,8 @@ def run_multifuture_inference(
             if need_prob:
                 trajs, logprobs, logits = jax.device_get(
                     (trajs, logprobs, logits))
+                # contract stays f32 regardless of the fetch dtype
+                logits = np.asarray(logits, np.float32)
             else:
                 trajs, logprobs = jax.device_get((trajs, logprobs))
                 logits = None                         # stays on device

@@ -125,3 +125,25 @@ def test_save_outputs_roundtrip(tmp_path, setup):
     with open(f2, "rb") as f:
         loaded_p = pickle.load(f)
     assert set(loaded_p) == set(inputs.traj_ids)
+
+
+def test_prob_fetch_dtype_f16(setup):
+    """prob_fetch_dtype="float16" halves the device->host logit
+    transfer but must keep the pickle contract: stored arrays stay
+    f32, trajectories are bit-identical (the cast rides only the
+    .prob.p fetch), and the f16 round-trip perturbs logits by no more
+    than f16 resolution at the logits' magnitude."""
+    cfg, params, inputs = setup
+    out32, prob32 = run_multifuture_inference(
+        params, inputs, cfg, batch_size=4)
+    out16, prob16 = run_multifuture_inference(
+        params, inputs, cfg, batch_size=4, prob_fetch_dtype="float16")
+    for tid in inputs.traj_ids:
+        np.testing.assert_array_equal(
+            np.asarray(out32[tid]), np.asarray(out16[tid]))
+        l32, p32 = prob32[tid]
+        l16, p16 = prob16[tid]
+        assert l16.dtype == np.float32 and p16.dtype == np.float32
+        np.testing.assert_array_equal(p32, p16)
+        scale = max(1.0, float(np.abs(l32).max()))
+        assert np.abs(l32 - l16).max() <= 1e-3 * scale
