@@ -453,3 +453,58 @@ def test_async_http_server_roundtrip(rng, beam_setup):
         c2.close()
     finally:
         server.close(close_engine=False)   # the fixture owns the engine
+
+
+def test_async_server_connection_churn_no_fd_leak(rng, beam_setup):
+    """Sustained load with per-request connection churn must not leak
+    file descriptors or waiter state: 120 short-lived connections (no
+    keep-alive reuse) through the asyncio front end, then the process
+    fd count and the engine's pending set return to baseline."""
+    import os
+    import socket as _socket
+
+    cfg, _, eng = beam_setup
+    from multiverse_tpu.serving.aserver import AsyncPredictionServer
+    from multiverse_tpu.serving.client import PredictionClient
+
+    def nfds():
+        return len(os.listdir("/proc/self/fd"))
+
+    server = AsyncPredictionServer(eng, port=0)
+    server.start_background()
+    try:
+        # settle + baseline
+        c0 = PredictionClient(port=server.port, binary=True)
+        obs = _random_obs(rng, cfg, 1)[0]
+        c0.predict(obs, pred_len=4)
+        c0.close()
+        time.sleep(0.2)
+        base = nfds()
+
+        errs = []
+
+        def churn(k):
+            for _ in range(20):
+                c = PredictionClient(port=server.port, binary=True)
+                try:
+                    out = c.predict(obs, pred_len=4)
+                    assert out["trajs"].shape == (cfg.beam_size, 4, 2)
+                except Exception as e:
+                    errs.append(e)
+                finally:
+                    c.close()
+
+        ts = [threading.Thread(target=churn, args=(k,))
+              for k in range(6)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs
+        # closed-side sockets linger briefly in the loop's callbacks
+        deadline = time.time() + 5
+        while nfds() > base + 4 and time.time() < deadline:
+            time.sleep(0.2)
+        assert nfds() <= base + 4, (nfds(), base)
+        snap = eng.stats.snapshot()
+        assert snap["errors"] == 0 and snap["requests"] >= 121
+    finally:
+        server.close(close_engine=False)
