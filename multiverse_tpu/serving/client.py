@@ -60,6 +60,12 @@ class PredictionClient:
                     self.close()
                 return resp.status, resp.getheader("Content-Type", ""), \
                     data
+            except TimeoutError:
+                # the server is slow, not the socket stale — retrying
+                # would double the wait AND enqueue the prediction twice
+                # on an already-saturated engine
+                self.close()
+                raise
             except (http.client.HTTPException, ConnectionError,
                     BrokenPipeError, OSError):
                 self.close()

@@ -508,3 +508,49 @@ def test_async_server_connection_churn_no_fd_leak(rng, beam_setup):
         assert snap["errors"] == 0 and snap["requests"] >= 121
     finally:
         server.close(close_engine=False)
+
+
+def test_client_does_not_retry_on_timeout():
+    """A slow server must surface TimeoutError after ~one timeout and
+    ONE request — the stale-keep-alive retry must not re-enqueue the
+    prediction on an engine that is merely saturated."""
+    import socket
+
+    from multiverse_tpu.serving.client import PredictionClient
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    accepted = []
+    alive = threading.Event()
+    alive.set()
+
+    def sink():
+        srv.settimeout(0.2)
+        while alive.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            accepted.append(conn)   # read nothing, never respond
+
+    t = threading.Thread(target=sink, daemon=True)
+    t.start()
+    try:
+        c = PredictionClient(port=port, timeout=0.5)
+        obs = np.zeros((8, 2), np.float32)
+        t0 = time.perf_counter()
+        with pytest.raises(TimeoutError):
+            c.predict(obs)
+        dt = time.perf_counter() - t0
+        c.close()
+        time.sleep(0.3)   # a (buggy) retry would reconnect by now
+        assert dt < 1.0, f"timed out in {dt:.2f}s — retried the request"
+        assert len(accepted) == 1, "client reconnected after timeout"
+    finally:
+        alive.clear()
+        t.join()
+        for conn in accepted:
+            conn.close()
+        srv.close()
