@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--port", type=int, default=8500)
     parser.add_argument("--max_batch", type=int, default=16)
     parser.add_argument("--max_delay_ms", type=float, default=5.0)
+    parser.add_argument("--max_queue", type=int, default=None,
+                        help="bound on queued (not yet batched) "
+                             "requests; when full, new requests get "
+                             "503 + Retry-After instead of unbounded "
+                             "queueing latency (default: unbounded)")
     parser.add_argument("--num_devices", type=int, default=1,
                         help="chips to serve across (data-parallel "
                              "batch sharding); 0 = all visible")
@@ -101,7 +106,8 @@ def main(argv=None) -> None:
             n_devices=args.num_devices if args.num_devices else None)
     engine = ServingEngine(
         params, cfg, max_batch=args.max_batch,
-        max_delay_ms=args.max_delay_ms, T_pred=args.T_pred, mesh=mesh)
+        max_delay_ms=args.max_delay_ms, T_pred=args.T_pred, mesh=mesh,
+        max_queue=args.max_queue)
     print(f"mvt-serve: compiling (batch={args.max_batch}, "
           f"T={engine.T_pred}, beam={cfg.beam_size}, "
           f"quant={cfg.decode_quant})...", file=sys.stderr)

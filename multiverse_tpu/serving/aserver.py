@@ -32,24 +32,34 @@ from typing import Optional
 
 import numpy as np
 
-from multiverse_tpu.serving.engine import ServingEngine
+from multiverse_tpu.serving.engine import (
+    EngineOverloadedError,
+    ServingEngine,
+)
 
 TENSOR_CONTENT_TYPE = "application/x-mvt-tensor"
 _MAX_BODY = 64 * 1024 * 1024
 
 
-def _json_response(code: int, payload: dict, keep_alive: bool) -> bytes:
+def _json_response(code: int, payload: dict, keep_alive: bool,
+                   extra_headers: Optional[dict] = None) -> bytes:
     body = json.dumps(payload).encode()
-    return _raw_response(code, "application/json", body, keep_alive)
+    return _raw_response(code, "application/json", body, keep_alive,
+                         extra_headers)
 
 
 def _raw_response(code: int, ctype: str, body: bytes,
-                  keep_alive: bool) -> bytes:
+                  keep_alive: bool,
+                  extra_headers: Optional[dict] = None) -> bytes:
     reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
-              500: "Internal Server Error"}.get(code, "Error")
+              500: "Internal Server Error",
+              503: "Service Unavailable"}.get(code, "Error")
+    extras = "".join(f"{k}: {v}\r\n"
+                     for k, v in (extra_headers or {}).items())
     head = (f"HTTP/1.1 {code} {reason}\r\n"
             f"Content-Type: {ctype}\r\n"
             f"Content-Length: {len(body)}\r\n"
+            f"{extras}"
             f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n"
             f"\r\n").encode()
     return head + body
@@ -235,5 +245,10 @@ class AsyncPredictionServer:
             }, keep)
         except (KeyError, ValueError, TypeError) as exc:
             return _json_response(400, {"error": str(exc)}, keep)
+        except EngineOverloadedError as exc:
+            # bounded-queue backpressure: one batch's worth of time is
+            # the natural retry hint (static graph = known cost)
+            return _json_response(503, {"error": str(exc)}, keep,
+                                  extra_headers={"Retry-After": "1"})
         except Exception as exc:  # engine/device failure
             return _json_response(500, {"error": str(exc)}, keep)

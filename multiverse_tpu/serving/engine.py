@@ -29,6 +29,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import List, NamedTuple, Optional
 
@@ -51,6 +52,17 @@ class PredictionResult:
     trajs: np.ndarray
     logprobs: np.ndarray
     pred_len: int
+
+
+class EngineOverloadedError(RuntimeError):
+    """Raised by submit/predict when the bounded request queue is full.
+
+    Backpressure signal for front ends (HTTP maps it to 503 +
+    Retry-After): with a static-shape graph the engine's capacity is a
+    known constant, so once the queue holds more than ``max_queue``
+    requests every additional admission only inflates tail latency —
+    rejecting at the door keeps the p99 of admitted requests bounded.
+    """
 
 
 class _RawInputs(NamedTuple):
@@ -101,8 +113,13 @@ class EngineStats:
     requests: int = 0
     batches: int = 0
     errors: int = 0
+    rejected: int = 0
     latency_sum_s: float = 0.0
     latency_max_s: float = 0.0
+    # recent completion latencies for the percentile fields; bounded so
+    # a long-lived server's stats stay O(1) memory
+    _recent: "deque" = field(
+        default_factory=lambda: deque(maxlen=4096), repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock,
                                   repr=False)
 
@@ -113,11 +130,14 @@ class EngineStats:
             for v in latencies:
                 self.latency_sum_s += v
                 self.latency_max_s = max(self.latency_max_s, v)
+            self._recent.extend(latencies)
 
     def reset(self):
         with self._lock:
             self.requests = self.batches = self.errors = 0
+            self.rejected = 0
             self.latency_sum_s = self.latency_max_s = 0.0
+            self._recent.clear()
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -125,14 +145,22 @@ class EngineStats:
                         if self.requests else 0.0)
             occ = (self.requests / self.batches
                    if self.batches else 0.0)
-            return {
+            out = {
                 "requests": self.requests,
                 "batches": self.batches,
                 "errors": self.errors,
+                "rejected": self.rejected,
                 "mean_batch_occupancy": round(occ, 2),
                 "mean_latency_ms": round(mean_lat * 1e3, 2),
                 "max_latency_ms": round(self.latency_max_s * 1e3, 2),
             }
+            if self._recent:
+                lat = np.sort(np.asarray(self._recent))
+                for q, name in ((0.50, "p50"), (0.99, "p99")):
+                    idx = min(len(lat) - 1, int(q * len(lat)))
+                    out[f"{name}_latency_ms"] = round(
+                        float(lat[idx]) * 1e3, 2)
+            return out
 
 
 class ServingEngine:
@@ -153,6 +181,11 @@ class ServingEngine:
             over its "data" axis (params replicate), so one server
             front end drives every chip of a slice; ``max_batch`` must
             be divisible by the data-axis size.
+        max_queue: bound on requests waiting for a batch slot (None =
+            unbounded).  When full, ``submit`` raises
+            :class:`EngineOverloadedError` instead of admitting work
+            that could only wait — the backpressure signal the HTTP
+            front ends turn into 503 + Retry-After.
     """
 
     def __init__(
@@ -164,6 +197,7 @@ class ServingEngine:
         T_pred: Optional[int] = None,
         mesh=None,
         inflight_slots: int = 2,
+        max_queue: Optional[int] = None,
     ):
         import jax
         from jax.sharding import PartitionSpec as P
@@ -285,7 +319,8 @@ class ServingEngine:
         else:
             self._default_scene = jax.device_put(jnp.asarray(rows))
 
-        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._queue: "queue.Queue[_Pending]" = queue.Queue(
+            maxsize=max_queue or 0)
         self._stop = threading.Event()
         self.stats = EngineStats()
         # two-stage pipeline: the batcher drains/builds/dispatches (host
@@ -364,7 +399,14 @@ class ServingEngine:
                 f"pred_len {pl} outside [1, {self.T_pred}]")
         onehot = self._scene_onehot(scene_class_map)
         pending = _Pending(obs, onehot, pl, on_done=on_done)
-        self._queue.put(pending)
+        try:
+            self._queue.put_nowait(pending)
+        except queue.Full:
+            with self.stats._lock:
+                self.stats.rejected += 1
+            raise EngineOverloadedError(
+                f"request queue full ({self._queue.maxsize} waiting); "
+                f"retry after the current batches drain")
         if self._stop.is_set():
             # close() may already have swept the queue — fail whatever
             # is left (any entry is safe to fail: the engine is closed)

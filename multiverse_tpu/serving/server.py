@@ -39,7 +39,10 @@ from typing import Optional
 
 import numpy as np
 
-from multiverse_tpu.serving.engine import ServingEngine
+from multiverse_tpu.serving.engine import (
+    EngineOverloadedError,
+    ServingEngine,
+)
 
 
 TENSOR_CONTENT_TYPE = "application/x-mvt-tensor"
@@ -55,11 +58,14 @@ def _make_handler(engine: ServingEngine):
         def log_message(self, fmt, *args):
             pass
 
-        def _send(self, code: int, payload: dict):
+        def _send(self, code: int, payload: dict,
+                  extra_headers: dict = None):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra_headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -113,6 +119,11 @@ def _make_handler(engine: ServingEngine):
                     })
             except (KeyError, ValueError, TypeError) as exc:
                 self._send(400, {"error": str(exc)})
+            except EngineOverloadedError as exc:
+                # bounded-queue backpressure: one batch's worth of time
+                # is the natural retry hint (static graph = known cost)
+                self._send(503, {"error": str(exc)},
+                           extra_headers={"Retry-After": "1"})
             except Exception as exc:  # engine/device failure
                 self._send(500, {"error": str(exc)})
 

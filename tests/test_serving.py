@@ -554,3 +554,103 @@ def test_client_does_not_retry_on_timeout():
         for conn in accepted:
             conn.close()
         srv.close()
+
+
+def test_bounded_queue_overload(rng):
+    """max_queue bounds admission deterministically: with the batcher
+    blocked inside a stalled device step, queued requests beyond the
+    bound raise EngineOverloadedError (counted in stats.rejected) and
+    every admitted request still resolves once the step unblocks."""
+    from multiverse_tpu.serving.engine import EngineOverloadedError
+
+    cfg = tiny_config(use_beam_search=True, beam_size=2,
+                      diverse_beam=True, diverse_gamma=0.01,
+                      fix_num_timestep=1)
+    params, eng = _engine(cfg, max_batch=1, max_delay_ms=1.0,
+                          T_pred=4, max_queue=2)
+    try:
+        eng.warmup()
+        gate = threading.Event()
+        orig_step = eng._step
+
+        def slow_step(p, b):
+            gate.wait(10)
+            return orig_step(p, b)
+
+        eng._step = slow_step
+        obs = _random_obs(rng, cfg, 1)[0]
+        p1 = eng.submit(obs)                  # batcher takes it, stalls
+        deadline = time.time() + 5
+        while not eng._queue.empty() and time.time() < deadline:
+            time.sleep(0.005)
+        assert eng._queue.empty(), "batcher never picked up p1"
+        p2 = eng.submit(obs)
+        p3 = eng.submit(obs)                  # queue now at max_queue=2
+        with pytest.raises(EngineOverloadedError):
+            eng.submit(obs)
+        assert eng.stats.snapshot()["rejected"] == 1
+        gate.set()
+        for p in (p1, p2, p3):
+            assert p.event.wait(15)
+            assert p.error is None
+            assert p.result.trajs.shape == (cfg.beam_size, 4, 2)
+    finally:
+        gate.set()
+        eng.close()
+
+
+@pytest.mark.parametrize("backend", ["threads", "asyncio"])
+def test_http_503_on_overload(rng, beam_setup, monkeypatch, backend):
+    """Both front ends map EngineOverloadedError to 503 + Retry-After."""
+    import http.client
+    import json
+
+    from multiverse_tpu.serving.engine import EngineOverloadedError
+
+    cfg, _, eng = beam_setup
+    if backend == "threads":
+        from multiverse_tpu.serving.server import PredictionServer
+        server = PredictionServer(eng, port=0)
+        server.start_background()
+    else:
+        from multiverse_tpu.serving.aserver import AsyncPredictionServer
+        server = AsyncPredictionServer(eng, port=0)
+        server.start_background()
+    try:
+        def overloaded(*a, **kw):
+            raise EngineOverloadedError("request queue full (test)")
+
+        monkeypatch.setattr(eng, "submit", overloaded)
+        monkeypatch.setattr(
+            eng, "predict",
+            lambda *a, **kw: overloaded())
+        obs = _random_obs(rng, cfg, 1)[0]
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=10)
+        conn.request("POST", "/v1/predict",
+                     body=json.dumps({"obs_traj": obs.tolist()}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 503, (resp.status, body)
+        assert resp.getheader("Retry-After") == "1"
+        assert b"queue full" in body
+        conn.close()
+    finally:
+        if backend == "asyncio":
+            server.close(close_engine=False)
+        else:
+            server.httpd.shutdown()
+            server.httpd.server_close()
+
+
+def test_stats_latency_percentiles(rng, beam_setup):
+    """After traffic, /stats carries p50/p99 with p50<=p99<=max."""
+    cfg, _, eng = beam_setup
+    obs = _random_obs(rng, cfg, 1)[0]
+    for _ in range(3):
+        eng.predict(obs, pred_len=4)
+    snap = eng.stats.snapshot()
+    assert "p50_latency_ms" in snap and "p99_latency_ms" in snap
+    assert (0 < snap["p50_latency_ms"] <= snap["p99_latency_ms"]
+            <= snap["max_latency_ms"])
