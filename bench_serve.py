@@ -99,6 +99,8 @@ def run_aio_load(port, n_clients, reqs_per_client, obs_all, beam_k,
                         length = int(line.split(b":")[1])
                 payload = await reader.readexactly(length)
                 latencies.append(time.perf_counter() - r0)
+                if b"200" not in status:
+                    continue   # error body is JSON, not a tensor frame
                 nl = payload.index(b"\n")
                 meta = _json.loads(payload[:nl])
                 trajs = np.frombuffer(
