@@ -87,7 +87,7 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--compute_dtype", default="float32",
                         help="float32|bfloat16 conv/matmul compute")
     parser.add_argument("--decode_quant", default="none",
-                        help="none|int8|int8_dyn — int8 MXU mode for "
+                        help="none|int8|int8a|int8_dyn — int8 MXU mode for "
                              "the fused beam-decode gate matmul "
                              "(inference fast path on bfloat16)")
     parser.add_argument("--remat", action="store_true",

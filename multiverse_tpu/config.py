@@ -92,9 +92,11 @@ class MultiverseConfig:
     # --- numerics
     compute_dtype: str = "float32"  # float32 | bfloat16 for conv compute
     # int8 MXU mode for the fused beam-decode gate matmul ("none" |
-    # "int8" | "int8_dyn").  Inference-only fast path on top of
-    # bfloat16 compute; "int8" folds static activation scales into the
-    # weights, "int8_dyn" splits the emb/recurrent matmuls and scales
+    # "int8" | "int8a" | "int8_dyn").  Inference-only fast path on top
+    # of bfloat16 compute; "int8" folds static activation scales into
+    # the weights, "int8a" additionally runs the attention matmuls in
+    # int8 (static scales — all operands bounded by construction),
+    # "int8_dyn" splits the emb/recurrent matmuls and scales
     # the recurrent rows dynamically.  Validated for beam-id fidelity
     # against the f32 path on trained checkpoints before use (see
     # ops/pallas_decode.py int8 section + STATUS.md).
@@ -148,9 +150,10 @@ class MultiverseConfig:
         if self.enc_hidden_size != self.dec_hidden_size:
             # encoder last state seeds the decoder state directly
             raise ValueError("enc_hidden_size must equal dec_hidden_size")
-        if self.decode_quant not in ("none", "int8", "int8_dyn"):
+        if self.decode_quant not in ("none", "int8", "int8a",
+                                     "int8_dyn"):
             raise ValueError(
-                f"decode_quant must be none|int8|int8_dyn, got "
+                f"decode_quant must be none|int8|int8a|int8_dyn, got "
                 f"{self.decode_quant!r}")
         if self.decode_quant != "none" and self.compute_dtype != "bfloat16":
             # the int8 kernels ride the fused bf16 decode path; with

@@ -163,7 +163,7 @@ def diverse_beam_search(
     # operands are precomputed ONCE here, outside the scan.
     # "int8" = single fused matmul with static scales;
     # "int8_dyn" = split matmuls with per-row dynamic scales.
-    quant8 = fused and cfg.decode_quant in ("int8", "int8_dyn")
+    quant8 = fused and cfg.decode_quant in ("int8", "int8a", "int8_dyn")
     if quant8:
         quant, q8_step = pallas_decode.select_quant(
             cfg.decode_quant, cell_p, emb_table)

@@ -233,7 +233,7 @@ def greedy_decode(
             h=init_state.h.astype(compute_dtype))
         scene_f = None if scene_mean is None else \
             scene_mean.astype(compute_dtype)
-        quant8 = cfg.decode_quant in ("int8", "int8_dyn")
+        quant8 = cfg.decode_quant in ("int8", "int8a", "int8_dyn")
         if quant8:
             quant, q8_step = pallas_decode.select_quant(
                 cfg.decode_quant, cell_p, emb_table)

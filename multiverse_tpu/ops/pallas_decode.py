@@ -70,6 +70,45 @@ def _gnn_attention(h, scene_ref, mask_ref, with_scene):
     return h.astype(jnp.float32) + agg
 
 
+def _gnn_attention_q8(h, scene_ref, mask_ref, with_scene):
+    """int8 variant of :func:`_gnn_attention` for the q8 decode tier:
+    both attention matmuls ride the MXU's int8 mode with STATIC scales,
+    because every operand is bounded by construction —
+
+      * the edge operands are rows of the L2-NORMALIZED node matrix,
+        so every entry is in [-1, 1] → scale 127;
+      * the aggregation operands are softmax weights in [0, 1] and
+        tanh-bounded h in (-1, 1) → scale 127 each.
+
+    Softmax stays f32 (exp cost is ~1.5% of the step).  The rounding
+    noise this adds to h+agg (≈4e-3 absolute rms) is BELOW the q8 gate
+    input's own quantization step (2/254 ≈ 7.9e-3, see
+    `_decode_kernel_gathered_q8`), so the gate matmul sees statistically
+    the same operands; end-metric neutrality is measured the same way
+    the int8 tier itself was (Q8_METRICS artifacts)."""
+    node = h
+    if with_scene:
+        node = jnp.concatenate([h, scene_ref[:]], axis=-1)
+    node_f = node.astype(jnp.float32)
+    sumsq = jnp.sum(node_f * node_f, axis=-1, keepdims=True)
+    node_n = node_f * jax.lax.rsqrt(jnp.maximum(sumsq, 1e-12))
+    node_q = jnp.round(node_n * 127.0).astype(jnp.int8)
+    edges = jax.lax.dot_general(
+        node_q, node_q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    edges = edges.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    edges = edges + mask_ref[:]
+    m = jnp.max(edges, axis=-1, keepdims=True)
+    e = jnp.exp(edges - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    attn_q = jnp.round(attn * 127.0).astype(jnp.int8)
+    h_q = jnp.round(h.astype(jnp.float32) * 127.0).astype(jnp.int8)
+    agg = jnp.dot(attn_q, h_q,
+                  preferred_element_type=jnp.int32).astype(
+        jnp.float32) * (1.0 / (127.0 * 127.0))
+    return h.astype(jnp.float32) + agg
+
+
 def _im2col9(x, H, W):
     """[HW, C] -> [HW, 9C] zero-padded 3x3 patch matrix, shift-major
     (matches kernel.reshape(9*C, ...) row order)."""
@@ -608,6 +647,9 @@ def select_quant(decode_quant: str, cell_params: dict,
     if decode_quant == "int8":
         return (quantize_decode_weights(cell_params, emb_table),
                 decode_step_pallas_gathered_q8)
+    if decode_quant == "int8a":
+        return (quantize_decode_weights(cell_params, emb_table),
+                decode_step_pallas_gathered_q8a)
     raise ValueError(f"no int8 decode mode named {decode_quant!r}")
 
 
@@ -819,13 +861,16 @@ def _decode_kernel_gathered_q8(ids_ref, par_ref,
                                cell_b_ref, h2g_w_ref,
                                h_out_ref, c_out_ref, logits_ref,
                                *, forget_bias: float, H: int, W: int,
-                               with_scene: bool):
+                               with_scene: bool, attn_q8: bool = False):
     """int8-gate variant of `_decode_kernel_gathered`: identical
     attention/readout; the im2col gate matmul runs int8 x int8 -> int32
-    on the MXU with statically-folded dequant scales."""
+    on the MXU with statically-folded dequant scales.  With
+    ``attn_q8`` the attention matmuls go int8 too
+    (:func:`_gnn_attention_q8`, the "int8a" tier)."""
     del ids_ref, par_ref
     h = h_ref[:]
-    h2_f = _gnn_attention(h, scene_ref, mask_ref, with_scene)
+    attention = _gnn_attention_q8 if attn_q8 else _gnn_attention
+    h2_f = attention(h, scene_ref, mask_ref, with_scene)
 
     # ---- quantize the recurrent half (|h2| < 2 by construction) and
     # assemble int8 im2col patches with the pre-quantized emb row
@@ -844,7 +889,8 @@ def _decode_kernel_gathered_q8(ids_ref, par_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "forget_bias", "interpret"))
+    jax.jit,
+    static_argnames=("H", "W", "forget_bias", "interpret", "attn_q8"))
 def decode_step_pallas_gathered_q8(
     quant: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     cell_bias: jnp.ndarray,
@@ -857,6 +903,7 @@ def decode_step_pallas_gathered_q8(
     W: int,
     forget_bias: float = 1.0,
     interpret: bool = False,
+    attn_q8: bool = False,
 ) -> Tuple[jnp.ndarray, ConvLSTMState, jnp.ndarray]:
     """Beam-reorder-folded fused step with the int8 gate matmul.
 
@@ -915,7 +962,7 @@ def decode_step_pallas_gathered_q8(
     new_h, new_c, logits = pl.pallas_call(
         functools.partial(
             _decode_kernel_gathered_q8, forget_bias=forget_bias,
-            H=H, W=W, with_scene=with_scene),
+            H=H, W=W, with_scene=with_scene, attn_q8=attn_q8),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((NK * HW, D), dtype),
@@ -931,3 +978,10 @@ def decode_step_pallas_gathered_q8(
             ConvLSTMState(c=new_c.reshape(NK, H, W, D),
                           h=new_h.reshape(NK, H, W, D)),
             logits.reshape(NK, H, W, 1))
+
+
+def decode_step_pallas_gathered_q8a(*args, **kw):
+    """`decode_quant="int8a"`: the q8 step with the attention matmuls
+    in int8 too (:func:`_gnn_attention_q8`).  Same quantized operands
+    as "int8" — only the kernel body differs."""
+    return decode_step_pallas_gathered_q8(*args, attn_q8=True, **kw)

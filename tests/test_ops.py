@@ -497,6 +497,30 @@ def test_pallas_decode_gathered_q8_tracks_f32(rng):
     np.testing.assert_allclose(
         np.asarray(qlogits), np.asarray(ref_logits), atol=0.08)
 
+    # int8a: same quantized operands, attention matmuls in int8 too.
+    # Operand bounds are structural (unit-norm node rows, softmax
+    # weights, tanh-bounded h), so the same composed-f32 tolerance must
+    # hold; additionally it must stay within pure attention-quant noise
+    # of the plain q8 step (same gate matmul bit-for-bit given equal
+    # attention output granularity ~1/127).
+    from multiverse_tpu.ops.pallas_decode import (
+        decode_step_pallas_gathered_q8a,
+    )
+    ah, ast, alogits = decode_step_pallas_gathered_q8a(
+        quant, cell["bias"], h2g, ids, parents,
+        state, scene, H, W, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ah, np.float32), np.asarray(out, np.float32),
+        atol=0.08)
+    np.testing.assert_allclose(
+        np.asarray(ast.c, np.float32), np.asarray(ref_st.c, np.float32),
+        atol=0.08)
+    np.testing.assert_allclose(
+        np.asarray(alogits), np.asarray(ref_logits), atol=0.08)
+    np.testing.assert_allclose(
+        np.asarray(ah, np.float32), np.asarray(qh, np.float32),
+        atol=0.03)
+
     # v2: split emb/recurrent matmuls + per-row dynamic scales
     quant2 = quantize_decode_weights_v2(cell, emb_table)
     assert quant2[0].dtype == jnp.int8
