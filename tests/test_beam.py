@@ -10,6 +10,7 @@ jax cell/conv/gnn ops for the neural pieces.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multiverse_tpu.geometry import one_hot_grid
 from multiverse_tpu.models import diverse_beam_search, init_params, model_forward
@@ -316,8 +317,10 @@ def test_fused_beam_wiring_matches_per_sample(rng, monkeypatch):
             np.asarray(out_n.logits[0]), rtol=1e-5, atol=1e-5)
 
 
-def test_q8_beam_wiring_interpret(rng, monkeypatch):
-    """The int8 fused decode path (cfg.decode_quant="int8") on CPU via
+@pytest.mark.parametrize("quant", ["int8", "int8a"])
+def test_q8_beam_wiring_interpret(rng, monkeypatch, quant):
+    """The int8 fused decode paths (cfg.decode_quant="int8"/"int8a" —
+    the latter also quantizes the attention matmuls) on CPU via
     interpret-mode kernels.  Two properties:
 
     * wiring determinism — batched q8 decode equals per-sample q8
@@ -330,7 +333,7 @@ def test_q8_beam_wiring_interpret(rng, monkeypatch):
 
     monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
     cfg, sp, first, state, scene_mean = _setup(rng)
-    cfg8 = cfg.replace(decode_quant="int8", compute_dtype="bfloat16")
+    cfg8 = cfg.replace(decode_quant=quant, compute_dtype="bfloat16")
     dt = jnp.bfloat16
     T = 5
     out8 = diverse_beam_search(
