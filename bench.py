@@ -136,6 +136,37 @@ def _measure_matmul_roofline(jax) -> float:
     return 2.0 * M ** 3 * K_ITERS / best / 1e12
 
 
+def _wait_for_backend(jax, budget_s: float):
+    """Wait for the backend for up to `budget_s`: the shared tunneled
+    chip intermittently fails init for minutes at a time — sometimes
+    raising UNAVAILABLE, sometimes HANGING — and a crash here costs
+    the whole bench artifact.  Because a hung in-process init cannot
+    be retried (it wedges the backend lock), readiness is probed in a
+    SUBPROCESS until one succeeds; only then does this process
+    initialize."""
+    import subprocess
+
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True)
+            if probe.returncode == 0:
+                return jax.devices()[0]
+        except subprocess.TimeoutExpired:
+            pass
+        attempt += 1
+        if time.time() >= deadline:
+            raise RuntimeError(
+                f"backend not ready after {attempt} probes / "
+                f"{budget_s:.0f}s")
+        print(f"bench: backend unavailable (probe {attempt}); retrying "
+              f"(~{deadline - time.time():.0f}s left)", file=sys.stderr)
+        time.sleep(20.0)
+
+
 def main():
     import jax
 
@@ -159,7 +190,8 @@ def main():
         compute_dtype="bfloat16",
     ).validate()
 
-    dev = jax.devices()[0]
+    dev = _wait_for_backend(
+        jax, float(os.environ.get("BENCH_BACKEND_WAIT_S", "900")))
     print(f"bench: device={dev.platform}:{dev.device_kind}",
           file=sys.stderr)
 
