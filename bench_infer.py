@@ -20,6 +20,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -46,7 +47,9 @@ def main():
         diverse_gamma=0.01, fix_num_timestep=1,
         compute_dtype="bfloat16").validate()
 
-    dev = jax.devices()[0]
+    from bench import _wait_for_backend
+    dev = _wait_for_backend(
+        jax, float(os.environ.get("BENCH_BACKEND_WAIT_S", "900")))
     print(f"bench_infer: device={dev.platform}:{dev.device_kind}",
           file=sys.stderr)
 

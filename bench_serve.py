@@ -177,7 +177,9 @@ def main(greedy: bool = False, direct: bool = False, aio: bool = False):
                         max_delay_ms=MAX_DELAY_MS, T_pred=T_PRED,
                         inflight_slots=int(os.environ.get(
                             "BENCH_SERVE_SLOTS", "2")))
-    dev = jax.devices()[0]
+    from bench import _wait_for_backend
+    dev = _wait_for_backend(
+        jax, float(os.environ.get("BENCH_BACKEND_WAIT_S", "900")))
     print(f"bench_serve: device={dev.platform}:{dev.device_kind} "
           f"host_cores={len(os.sched_getaffinity(0))} "
           f"warmup {eng.warmup():.1f}s", file=sys.stderr)

@@ -17,6 +17,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -75,7 +76,9 @@ def main():
         compute_dtype="bfloat16",
     ).validate()
 
-    dev = jax.devices()[0]
+    from bench import _wait_for_backend
+    dev = _wait_for_backend(
+        jax, float(os.environ.get("BENCH_BACKEND_WAIT_S", "900")))
     print(f"bench_train: device={dev.platform}:{dev.device_kind} "
           f"batch={BATCH}", file=sys.stderr)
 
