@@ -162,26 +162,41 @@ class AsyncPredictionServer:
                     break
                 method, path = parts[0], parts[1]
                 headers = {}
+                n_header_lines = 0
                 try:
                     while True:
                         line = await reader.readline()
                         if line in (b"\r\n", b"\n", b""):
                             break
+                        # bound header COUNT inside the loop: distinct
+                        # keys would otherwise grow `headers` without
+                        # limit on an abusive stream that never sends
+                        # the blank line
+                        n_header_lines += 1
+                        if n_header_lines > 256:
+                            raise ValueError("too many header lines")
                         k, _, v = line.decode("latin-1").partition(":")
                         headers[k.strip().lower()] = v.strip()
                 except (ValueError, asyncio.LimitOverrunError):
                     # a header line beyond the stream's 64 KB line
-                    # limit — reject rather than die with an unhandled
-                    # task exception (the rest of the stream is
-                    # unframed garbage, so close the connection)
+                    # limit (or past the count bound) — reject rather
+                    # than die with an unhandled task exception (the
+                    # rest of the stream is unframed garbage, so close
+                    # the connection)
                     writer.write(_json_response(
-                        400, {"error": "header line too long"}, False))
+                        400, {"error": "bad headers"}, False))
+                    break
+                if "transfer-encoding" in headers:
+                    # only Content-Length framing is supported; parsing
+                    # a chunked body as length-0 would leave the chunks
+                    # in the stream and desync keep-alive framing
+                    writer.write(_json_response(
+                        400, {"error": "transfer-encoding unsupported"},
+                        False))
                     break
                 try:
                     length = int(headers.get("content-length", "0"))
                 except ValueError:
-                    length = -1
-                if len(headers) >= 256:     # malformed/abusive stream
                     length = -1
                 if not 0 <= length <= _MAX_BODY:
                     writer.write(_json_response(

@@ -448,6 +448,23 @@ def test_async_http_server_roundtrip(rng, beam_setup):
             s.sendall(b"POST /v1/predict HTTP/1.1\r\n"
                       b"X-Junk: " + b"a" * (80 * 1024) + b"\r\n\r\n")
             assert b" 400 " in s.recv(4096)
+        # unbounded DISTINCT header lines must be cut off inside the
+        # read loop (not after it — the dict would grow without limit)
+        with _socket.create_connection(
+                ("127.0.0.1", server.port), timeout=10) as s:
+            s.sendall(b"POST /v1/predict HTTP/1.1\r\n")
+            for i in range(300):
+                s.sendall(b"X-H%d: v\r\n" % i)
+            s.sendall(b"\r\n")
+            assert b" 400 " in s.recv(4096)
+        # chunked bodies are unsupported: must 400 + close instead of
+        # parsing the chunks as the next request line
+        with _socket.create_connection(
+                ("127.0.0.1", server.port), timeout=10) as s:
+            s.sendall(b"POST /v1/predict HTTP/1.1\r\n"
+                      b"Transfer-Encoding: chunked\r\n\r\n"
+                      b"5\r\nhello\r\n0\r\n\r\n")
+            assert b" 400 " in s.recv(4096)
         c2 = PredictionClient(port=server.port)
         assert c2.healthy()
         c2.close()
