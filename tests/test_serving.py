@@ -671,3 +671,63 @@ def test_stats_latency_percentiles(rng, beam_setup):
     assert "p50_latency_ms" in snap and "p99_latency_ms" in snap
     assert (0 < snap["p50_latency_ms"] <= snap["p99_latency_ms"]
             <= snap["max_latency_ms"])
+
+
+def test_async_server_survives_protocol_fuzz(rng, beam_setup):
+    """Deterministic protocol fuzz: 60 connections of seeded random
+    garbage (random bytes, truncated requests, huge tokens, stray
+    CRLFs) against the asyncio front end.  The server must never hang
+    a connection past its own framing rules, and must still serve a
+    well-formed request afterwards with zero engine errors.  (The
+    client does not wait for replies to unframed garbage — the server
+    side is legitimately still waiting for a complete line.)"""
+    import socket as _socket
+
+    from multiverse_tpu.serving.aserver import AsyncPredictionServer
+    from multiverse_tpu.serving.client import PredictionClient
+
+    cfg, _, eng = beam_setup
+    server = AsyncPredictionServer(eng, port=0)
+    server.start_background()
+    fuzz_rng = np.random.RandomState(7)
+    corpus = [
+        b"",                                     # connect-and-close
+        b"\r\n\r\n",
+        b"GET\r\n\r\n",                          # too few tokens
+        b"POST /v1/predict HTTP/1.1\r\nContent-Length: 10\r\n\r\nhi",
+        b"POST /v1/predict HTTP/1.1\r\nContent-Length: -5\r\n\r\n",
+        b"\x00\xff" * 512,
+        b"POST /v1/predict HTTP/1.1\r\n" + b"A" * 70000,
+    ]
+    try:
+        for k in range(60):
+            if k % 3 == 0:
+                payload = corpus[k // 3 % len(corpus)]
+                framed = payload.endswith(b"\r\n\r\n") or len(payload) > 4096
+            else:
+                payload = fuzz_rng.bytes(int(fuzz_rng.randint(1, 2048)))
+                framed = False
+            try:
+                with _socket.create_connection(
+                        ("127.0.0.1", server.port), timeout=5) as s:
+                    s.sendall(payload)
+                    # only wait for a reply when the payload is a
+                    # complete frame (or oversized, which forces one);
+                    # unframed garbage leaves the server correctly
+                    # blocked on readline until we close
+                    s.settimeout(5 if framed else 0.05)
+                    try:
+                        s.recv(4096)
+                    except (_socket.timeout, ConnectionError):
+                        pass
+            except ConnectionError:
+                pass        # server closed mid-send: acceptable
+        # the loop is still alive and serving correctly
+        c = PredictionClient(port=server.port, timeout=60)
+        out = c.predict(_random_obs(np.random.RandomState(0), cfg, 1)[0],
+                        pred_len=4)
+        assert out["trajs"].shape == (cfg.beam_size, 4, 2)
+        c.close()
+        assert eng.stats.snapshot()["errors"] == 0
+    finally:
+        server.close(close_engine=False)
