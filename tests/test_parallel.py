@@ -154,11 +154,14 @@ def test_multidevice_steps_disable_pallas():
         cfg, make_mesh(n_devices=1)).allow_pallas
 
 
-def test_sharded_beam_step_keeps_fused_kernels(monkeypatch):
+@pytest.mark.parametrize("quant", ["none", "int8"])
+def test_sharded_beam_step_keeps_fused_kernels(monkeypatch, quant):
     """Multi-device inference goes through shard_map, so the fused
     pallas decode kernel runs on every chip's batch slice — outputs
     must equal the single-device fused path exactly (same per-sample
-    kernel math; GSPMD alone cannot partition pallas_call)."""
+    kernel math; GSPMD alone cannot partition pallas_call).  Covered
+    for the bf16 kernel AND the int8 tier `mvt-serve` defaults to on
+    TPU (the quantized operands ride shard_map the same way)."""
     from multiverse_tpu.inference import beam_forward
     from multiverse_tpu.ops import pallas_decode
     from multiverse_tpu.parallel import make_sharded_beam_step
@@ -166,7 +169,7 @@ def test_sharded_beam_step_keeps_fused_kernels(monkeypatch):
     monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
     cfg = tiny_cfg(use_beam_search=True, beam_size=4, diverse_beam=True,
                    diverse_gamma=0.01, use_gnn=True, use_scene_enc=True,
-                   compute_dtype="bfloat16")
+                   compute_dtype="bfloat16", decode_quant=quant)
     n = 8
     params = init_params(jax.random.PRNGKey(0), cfg)
     batch = tiny_batch(cfg, n)._replace(
