@@ -731,3 +731,39 @@ def test_async_server_survives_protocol_fuzz(rng, beam_setup):
         assert eng.stats.snapshot()["errors"] == 0
     finally:
         server.close(close_engine=False)
+
+
+def test_mesh_engine_int8_default_matches_single_device(rng, monkeypatch):
+    """The TPU serving default — bf16 + decode_quant="int8" — over a
+    DP mesh: the engine's own shard_map step (distinct wrapping from
+    parallel.make_sharded_beam_step) must carry the quantized fused
+    kernels per chip and equal the single-device int8 engine."""
+    from multiverse_tpu.ops import pallas_decode
+    from multiverse_tpu.parallel import make_mesh
+    from multiverse_tpu.serving.engine import ServingEngine
+
+    monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
+    cfg = tiny_config(use_beam_search=True, beam_size=3,
+                      diverse_beam=True, diverse_gamma=0.01,
+                      fix_num_timestep=1, compute_dtype="bfloat16",
+                      decode_quant="int8")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng_1 = ServingEngine(params, cfg, max_batch=4, max_delay_ms=1.0,
+                          T_pred=4)
+    eng_m = ServingEngine(params, cfg, max_batch=4, max_delay_ms=1.0,
+                          T_pred=4, mesh=make_mesh(n_devices=4))
+    try:
+        eng_1.warmup()
+        eng_m.warmup()
+        obs = _random_obs(rng, cfg, 1)[0]
+        single = eng_1.predict(obs, pred_len=4, timeout=120)
+        sharded = eng_m.predict(obs, pred_len=4, timeout=120)
+        # same per-sample kernel math on every chip's slice: the padded
+        # single-device batch and the padded shards quantize identically
+        np.testing.assert_allclose(sharded.trajs, single.trajs,
+                                   atol=1e-4)
+        np.testing.assert_allclose(sharded.logprobs, single.logprobs,
+                                   atol=1e-5)
+    finally:
+        eng_1.close()
+        eng_m.close()
