@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multiverse_tpu.models import (
     compute_loss,
@@ -310,17 +311,20 @@ def test_dual_scale_evaluate(rng):
     assert perf["grid1_traj_centerOnly_ade"] <= diag
 
 
-def test_fused_greedy_wiring_interpret(rng, monkeypatch):
+@pytest.mark.parametrize("quant", ["none", "int8", "int8a"])
+def test_fused_greedy_wiring_interpret(rng, monkeypatch, quant):
     """greedy_decode's fused branch (argmax-id carry, emb table,
     identity parents) exercised on CPU in interpret mode: batched ==
     per-sample exactly, and the first step (no feedback divergence
-    yet) matches the composed bf16 path within kernel tolerance."""
+    yet) matches the composed bf16 path within kernel tolerance.
+    Parametrized over the int8 tiers (the mvt-test/serving greedy fast
+    paths ride the same select_quant dispatch)."""
     import jax.numpy as jnp
 
     from multiverse_tpu.ops import pallas_decode
     from synthetic import make_batch, tiny_config
 
-    cfg = tiny_config(compute_dtype="bfloat16")
+    cfg = tiny_config(compute_dtype="bfloat16", decode_quant=quant)
     params = init_params(jax.random.PRNGKey(3), cfg)
     batch, _ = make_batch(rng, cfg, 3)
     jb = jax.tree_util.tree_map(jnp.asarray, batch)
@@ -331,11 +335,14 @@ def test_fused_greedy_wiring_interpret(rng, monkeypatch):
     monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
     fused = model_forward(params, jb, cfg, is_train=False)
 
-    # first step: same inputs, bf16-rounding-level agreement
+    # first step: same inputs — bf16-rounding-level agreement for the
+    # plain tier, composed-f32-distance tolerance for the int8 tiers
+    # (the composed path has no quantization; cf. test_ops' q8 bound)
+    tol = 3e-2 if quant == "none" else 0.1
     np.testing.assert_allclose(
         np.asarray(fused.class_logits[i][:, 0], np.float32),
         np.asarray(composed.class_logits[i][:, 0], np.float32),
-        rtol=3e-2, atol=3e-2)
+        rtol=tol, atol=tol)
 
     # batched fused == per-sample fused (same kernel/rounding -> exact)
     def slice_batch(b, n):
