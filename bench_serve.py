@@ -64,6 +64,8 @@ def run_aio_load(port, n_clients, reqs_per_client, obs_all, beam_k,
     import asyncio
     import json as _json
 
+    from multiverse_tpu.serving.wire import parse_tensor_frame
+
     errors = []
     latencies = []
 
@@ -88,8 +90,6 @@ def run_aio_load(port, n_clients, reqs_per_client, obs_all, beam_k,
                 writer.write(head)
                 await writer.drain()
                 status = await reader.readline()
-                if b"200" not in status:
-                    errors.append(RuntimeError(status.decode()))
                 length = 0
                 while True:
                     line = await reader.readline()
@@ -98,16 +98,15 @@ def run_aio_load(port, n_clients, reqs_per_client, obs_all, beam_k,
                     if line.lower().startswith(b"content-length:"):
                         length = int(line.split(b":")[1])
                 payload = await reader.readexactly(length)
-                latencies.append(time.perf_counter() - r0)
                 if b"200" not in status:
-                    continue   # error body is JSON, not a tensor frame
-                nl = payload.index(b"\n")
-                meta = _json.loads(payload[:nl])
-                trajs = np.frombuffer(
-                    payload, np.float32,
-                    count=int(np.prod(meta["trajs_shape"])),
-                    offset=nl + 1).reshape(meta["trajs_shape"])
-                assert trajs.shape == (beam_k, t_pred, 2)
+                    # error body is JSON, not a tensor frame; and only
+                    # SUCCESSFUL responses count as latency samples or
+                    # throughput (matching the threaded run_load)
+                    errors.append(RuntimeError(status.decode()))
+                    continue
+                latencies.append(time.perf_counter() - r0)
+                out = parse_tensor_frame(payload)
+                assert out["trajs"].shape == (beam_k, t_pred, 2)
         except (OSError, asyncio.IncompleteReadError) as exc:
             errors.append(exc)
         finally:
@@ -172,14 +171,18 @@ def main(greedy: bool = False, direct: bool = False, aio: bool = False):
     # greedy decodes ~13x faster per trajectory, so its saturation
     # batch is larger
     max_batch = MAX_BATCH * 4 if greedy else MAX_BATCH
+    # probe the backend in a SUBPROCESS before any in-process jax work:
+    # init_params / the engine's device_put initialize the backend, and
+    # on a flapping tunneled chip that init can hang unrecoverably — a
+    # probe that runs after it is dead weight
+    from bench import _wait_for_backend
+    dev = _wait_for_backend(
+        jax, float(os.environ.get("BENCH_BACKEND_WAIT_S", "900")))
     params = init_params(jax.random.PRNGKey(0), cfg)
     eng = ServingEngine(params, cfg, max_batch=max_batch,
                         max_delay_ms=MAX_DELAY_MS, T_pred=T_PRED,
                         inflight_slots=int(os.environ.get(
                             "BENCH_SERVE_SLOTS", "2")))
-    from bench import _wait_for_backend
-    dev = _wait_for_backend(
-        jax, float(os.environ.get("BENCH_BACKEND_WAIT_S", "900")))
     print(f"bench_serve: device={dev.platform}:{dev.device_kind} "
           f"host_cores={len(os.sched_getaffinity(0))} "
           f"warmup {eng.warmup():.1f}s", file=sys.stderr)
@@ -232,7 +235,10 @@ def main(greedy: bool = False, direct: bool = False, aio: bool = False):
         server.httpd.server_close()
         eng.close()
 
-    total = n_clients * REQS_PER_CLIENT
+    # throughput counts COMPLETED successful responses (one latency
+    # sample each, in both load generators) — a client that aborts
+    # mid-run must shrink the numerator, not ride n_clients*REQS
+    completed = len(lats)
     metric = "serving_throughput"
     if greedy:
         metric += "_greedy"
@@ -242,9 +248,10 @@ def main(greedy: bool = False, direct: bool = False, aio: bool = False):
         metric += "_aio"
     print(json.dumps({
         "metric": metric,
-        "value": round(total / wall, 2),
+        "value": round(completed / wall, 2),
         "unit": "req/s",
         "clients": n_clients,
+        "completed": completed,
         "errors": len(errors),
         "mean_batch_occupancy": stats["mean_batch_occupancy"],
         "mean_latency_ms": stats["mean_latency_ms"],

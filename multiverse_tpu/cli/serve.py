@@ -69,9 +69,17 @@ def tpu_serving_overrides(raw_argv, backend) -> dict:
     Explicit --compute_dtype/--decode_quant flags override; non-TPU
     backends keep the exact f32 parity path."""
     def _explicit(flag: str) -> bool:
-        # both spellings count: "--flag value" and "--flag=value"
-        return any(a == flag or a.startswith(flag + "=")
-                   for a in raw_argv)
+        # argparse accepts any unambiguous prefix, and parsing has
+        # already succeeded by the time this runs — so any argv token
+        # that is a "--"-prefixed prefix of `flag` (e.g. "--decode_qua",
+        # with or without "=value") can only have been bound to it (an
+        # ambiguous prefix would have errored out in parse_args)
+        for a in raw_argv:
+            tok = a.split("=", 1)[0]
+            if (tok.startswith("--") and len(tok) > 2
+                    and flag.startswith(tok)):
+                return True
+        return False
 
     if (backend == "tpu"
             and not _explicit("--compute_dtype")

@@ -113,33 +113,6 @@ def rasterize_traj_np(
     return classes, targets
 
 
-def rasterize_trajs_batch_np(
-    xy: np.ndarray,
-    video_h: int,
-    video_w: int,
-    grids: Tuple[Tuple[int, int], ...],
-    target_scale: int,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Batched :func:`rasterize_traj_np` for the serving batcher: cell
-    ids for every scale plus dense targets for ONE scale, over [B, T, 2]
-    trajectories in a handful of vectorized ops (the per-request numpy
-    calls were measurable on the batcher thread at three-digit req/s).
-
-    Returns:
-        (cell ids [B, num_scales, T] int32,
-         targets [B, T, h, w, 2] float32 for `target_scale`).
-    """
-    B, T = xy.shape[:2]
-    classes = np.zeros((B, len(grids), T), dtype=np.int32)
-    for i, (h, w) in enumerate(grids):
-        classes[:, i] = xy_to_cell_np(xy, video_h, video_w, h, w)
-    h, w = grids[target_scale]
-    centers = grid_centers(video_h, video_w, h, w)
-    targets = (xy[:, :, None, None, :]
-               - centers[None, None]).astype(np.float32)
-    return classes, targets
-
-
 def relative_to_abs(rel_traj: np.ndarray, start_pos) -> np.ndarray:
     """Relative displacements [T, 2] → absolute coordinates, starting
     from `start_pos` (reference: code/pred_utils.py:735-749)."""

@@ -36,8 +36,11 @@ from multiverse_tpu.serving.engine import (
     EngineOverloadedError,
     ServingEngine,
 )
+from multiverse_tpu.serving.wire import (
+    TENSOR_CONTENT_TYPE,
+    build_tensor_frame,
+)
 
-TENSOR_CONTENT_TYPE = "application/x-mvt-tensor"
 _MAX_BODY = 64 * 1024 * 1024
 
 
@@ -63,17 +66,6 @@ def _raw_response(code: int, ctype: str, body: bytes,
             f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n"
             f"\r\n").encode()
     return head + body
-
-
-def _tensor_frame(result) -> bytes:
-    trajs = np.ascontiguousarray(result.trajs, np.float32)
-    logprobs = np.ascontiguousarray(result.logprobs, np.float32)
-    header = json.dumps({
-        "trajs_shape": list(trajs.shape),
-        "logprobs_shape": list(logprobs.shape),
-        "pred_len": result.pred_len,
-    }).encode() + b"\n"
-    return header + trajs.tobytes() + logprobs.tobytes()
 
 
 class AsyncPredictionServer:
@@ -154,6 +146,15 @@ class AsyncPredictionServer:
                 try:
                     request_line = await reader.readline()
                 except (ConnectionError, asyncio.LimitOverrunError):
+                    break
+                except ValueError:
+                    # readline() raises ValueError when no newline
+                    # arrives within the stream's 64 KB line limit —
+                    # same abuse case as an overlong header line, so
+                    # same answer: 400 and close (the rest of the
+                    # stream is unframed garbage)
+                    writer.write(_json_response(
+                        400, {"error": "request line too long"}, False))
                     break
                 if not request_line or request_line == b"\r\n":
                     break
@@ -252,7 +253,7 @@ class AsyncPredictionServer:
             result = pending.result
             if TENSOR_CONTENT_TYPE in headers.get("accept", ""):
                 return _raw_response(200, TENSOR_CONTENT_TYPE,
-                                     _tensor_frame(result), keep)
+                                     build_tensor_frame(result), keep)
             return _json_response(200, {
                 "trajs": result.trajs.tolist(),
                 "logprobs": result.logprobs.tolist(),

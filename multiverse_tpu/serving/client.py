@@ -20,7 +20,10 @@ from typing import Optional
 
 import numpy as np
 
-TENSOR_CONTENT_TYPE = "application/x-mvt-tensor"
+from multiverse_tpu.serving.wire import (
+    TENSOR_CONTENT_TYPE,
+    parse_tensor_frame,
+)
 
 
 class PredictionClient:
@@ -117,20 +120,7 @@ class PredictionClient:
             headers=headers)
         self._check(status, "/v1/predict", data)
         if ctype.startswith(TENSOR_CONTENT_TYPE):
-            nl = data.index(b"\n")
-            head = json.loads(data[:nl])
-            ts = tuple(head["trajs_shape"])
-            n_traj = int(np.prod(ts)) * 4
-            trajs = np.frombuffer(
-                data, np.float32, count=int(np.prod(ts)),
-                offset=nl + 1).reshape(ts)
-            logprobs = np.frombuffer(
-                data, np.float32,
-                count=int(np.prod(head["logprobs_shape"])),
-                offset=nl + 1 + n_traj).reshape(
-                    tuple(head["logprobs_shape"]))
-            return {"trajs": trajs, "logprobs": logprobs,
-                    "pred_len": head["pred_len"]}
+            return parse_tensor_frame(data)
         out = json.loads(data)
         out["trajs"] = np.asarray(out["trajs"], np.float32)
         out["logprobs"] = np.asarray(out["logprobs"], np.float32)

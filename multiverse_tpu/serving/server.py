@@ -43,9 +43,10 @@ from multiverse_tpu.serving.engine import (
     EngineOverloadedError,
     ServingEngine,
 )
-
-
-TENSOR_CONTENT_TYPE = "application/x-mvt-tensor"
+from multiverse_tpu.serving.wire import (
+    TENSOR_CONTENT_TYPE,
+    build_tensor_frame,
+)
 
 
 def _make_handler(engine: ServingEngine):
@@ -70,16 +71,8 @@ def _make_handler(engine: ServingEngine):
             self.wfile.write(body)
 
         def _send_tensor(self, result):
-            """Binary frame: JSON header line + raw f32 payloads."""
-            trajs = np.ascontiguousarray(result.trajs, np.float32)
-            logprobs = np.ascontiguousarray(
-                result.logprobs, np.float32)
-            header = json.dumps({
-                "trajs_shape": list(trajs.shape),
-                "logprobs_shape": list(logprobs.shape),
-                "pred_len": result.pred_len,
-            }).encode() + b"\n"
-            body = header + trajs.tobytes() + logprobs.tobytes()
+            """Binary frame (see :mod:`multiverse_tpu.serving.wire`)."""
+            body = build_tensor_frame(result)
             self.send_response(200)
             self.send_header("Content-Type", TENSOR_CONTENT_TYPE)
             self.send_header("Content-Length", str(len(body)))

@@ -106,22 +106,3 @@ def test_relative_to_abs():
                                      [12.0, 6.0]])
 
 
-def test_rasterize_trajs_batch_matches_per_traj():
-    """The serving batcher's vectorized rasterization must equal the
-    per-trajectory function on every scale + the target scale's dense
-    offsets."""
-    from multiverse_tpu.geometry import (
-        rasterize_traj_np,
-        rasterize_trajs_batch_np,
-    )
-
-    rng = np.random.RandomState(3)
-    grids = ((6, 8), (3, 4))
-    xy = rng.uniform(0, [192, 108], size=(5, 4, 2)).astype(np.float32)
-    cls_b, tgt_b = rasterize_trajs_batch_np(xy, 108, 192, grids, 0)
-    assert cls_b.shape == (5, 2, 4)
-    assert tgt_b.shape == (5, 4, 6, 8, 2)
-    for n in range(5):
-        cls_1, tgt_1 = rasterize_traj_np(xy[n], 108, 192, grids)
-        np.testing.assert_array_equal(cls_b[n], cls_1)
-        np.testing.assert_allclose(tgt_b[n], tgt_1[0], atol=0)

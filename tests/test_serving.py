@@ -332,7 +332,13 @@ def test_tpu_serving_overrides_flag_spellings():
     for explicit in (["--compute_dtype", "float32"],
                      ["--compute_dtype=float32"],
                      ["--decode_quant", "none"],
-                     ["--decode_quant=none"]):
+                     ["--decode_quant=none"],
+                     # argparse accepts unambiguous PREFIXES too — an
+                     # abbreviated explicit flag must still win over
+                     # the TPU default (it parsed to the same dest)
+                     ["--decode_qua", "int8_dyn"],
+                     ["--decode_qua=int8_dyn"],
+                     ["--compute_dt", "float32"]):
         assert tpu_serving_overrides(base + explicit, "tpu") == {}
     # a flag whose value merely mentions the name is not an override
     assert tpu_serving_overrides(
@@ -698,6 +704,7 @@ def test_async_server_survives_protocol_fuzz(rng, beam_setup):
         b"POST /v1/predict HTTP/1.1\r\nContent-Length: -5\r\n\r\n",
         b"\x00\xff" * 512,
         b"POST /v1/predict HTTP/1.1\r\n" + b"A" * 70000,
+        b"B" * 70000,   # overlong REQUEST LINE (no newline at all)
     ]
     try:
         for k in range(60):
