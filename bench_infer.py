@@ -99,16 +99,28 @@ def main():
         run(BATCH * 2, need_prob, fetch_dt)  # warm this variant
         t2 = run(BATCH * 2, need_prob, fetch_dt)
         t10 = run(N, need_prob, fetch_dt)
-        rates[tag] = (N - BATCH * 2) / (t10 - t2)
+        # flap guard: on the shared chip the 2-batch calibration run
+        # can land in a degradation window and exceed the 10-batch run,
+        # making the difference quotient garbage — record null rather
+        # than a negative/absurd throughput
+        if t10 > t2 * 1.05:
+            rates[tag] = (N - BATCH * 2) / (t10 - t2)
+        else:
+            rates[tag] = None
+            print(f"bench_infer: {tag} INVALID (chip flap: 2-batch "
+                  f"{t2:.1f}s >= 10-batch {t10:.1f}s)", file=sys.stderr)
         print(f"bench_infer: {tag} 2-batch {t2:.1f}s, "
               f"{N_BATCHES}-batch {t10:.1f}s", file=sys.stderr)
 
+    def _r(v):
+        return None if v is None else round(v, 2)
+
     print(json.dumps({
         "metric": "offline_inference_throughput",
-        "value": round(rates["traj_only"], 2),
+        "value": _r(rates["traj_only"]),
         "unit": "traj/s",
-        "with_prob_value": round(rates["with_prob"], 2),
-        "with_prob_f16_value": round(rates["with_prob_f16"], 2),
+        "with_prob_value": _r(rates["with_prob"]),
+        "with_prob_f16_value": _r(rates["with_prob_f16"]),
         "batches": N_BATCHES,
         "batch_size": BATCH,
     }))

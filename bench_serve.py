@@ -152,6 +152,11 @@ def run_load(make_predict, n_clients, reqs_per_client, obs_all):
 
 
 def main(greedy: bool = False, direct: bool = False, aio: bool = False):
+    if direct and aio:
+        # one run measures one transport: --direct bypasses HTTP
+        # entirely, so "--direct --aio" would run the direct path while
+        # the metric name claimed the asyncio front end was measured
+        sys.exit("bench_serve: --direct and --aio are mutually exclusive")
     import jax
 
     from multiverse_tpu.config import MultiverseConfig

@@ -59,41 +59,35 @@ def build_parser() -> argparse.ArgumentParser:
                              "(default; no per-connection threads) or "
                              "the classic ThreadingHTTPServer")
     add_model_args(parser)
+    # None-sentinel defaults: argparse itself records whether the user
+    # gave these flags (in ANY spelling it accepts, including
+    # abbreviated prefixes), so the TPU tier default below never has to
+    # re-derive "was this explicit?" from raw argv
+    parser.set_defaults(compute_dtype=None, decode_quant=None)
     return parser
 
 
-def tpu_serving_overrides(raw_argv, backend) -> dict:
+def resolve_serving_dtypes(backend: str, compute_dtype, decode_quant):
     """Serving default on TPU: bf16 + int8 gate matmul — decided on END
     metrics (8-seed minADE/minFDE/NLL deltas vs f32 are zero-mean and
     inside run noise, STATUS.md §int8 decision), 1.38x the bf16 decode.
-    Explicit --compute_dtype/--decode_quant flags override; non-TPU
-    backends keep the exact f32 parity path."""
-    def _explicit(flag: str) -> bool:
-        # argparse accepts any unambiguous prefix, and parsing has
-        # already succeeded by the time this runs — so any argv token
-        # that is a "--"-prefixed prefix of `flag` (e.g. "--decode_qua",
-        # with or without "=value") can only have been bound to it (an
-        # ambiguous prefix would have errored out in parse_args)
-        for a in raw_argv:
-            tok = a.split("=", 1)[0]
-            if (tok.startswith("--") and len(tok) > 2
-                    and flag.startswith(tok)):
-                return True
-        return False
 
-    if (backend == "tpu"
-            and not _explicit("--compute_dtype")
-            and not _explicit("--decode_quant")):
-        return dict(compute_dtype="bfloat16", decode_quant="int8")
-    return {}
+    ``None`` means the flag was not given.  Any explicit flag disables
+    the tier default entirely (the un-given one falls back to the
+    library default); non-TPU backends keep the exact f32 parity path.
+
+    Returns the final ``(compute_dtype, decode_quant)`` pair."""
+    if backend == "tpu" and compute_dtype is None and decode_quant is None:
+        return "bfloat16", "int8"
+    return compute_dtype or "float32", decode_quant or "none"
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    raw_argv = sys.argv[1:] if argv is None else argv
-    overrides = tpu_serving_overrides(raw_argv, jax.default_backend())
+    args.compute_dtype, args.decode_quant = resolve_serving_dtypes(
+        jax.default_backend(), args.compute_dtype, args.decode_quant)
     cfg = config_from_args(args).replace(
-        use_beam_search=not args.greedy, **overrides).validate()
+        use_beam_search=not args.greedy).validate()
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     if args.random_init:

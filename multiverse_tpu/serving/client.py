@@ -49,8 +49,18 @@ class PredictionClient:
 
         A keep-alive socket the server has since closed surfaces as a
         connection-level error on the NEXT request — retry once on a
-        fresh connection; errors on the retry propagate."""
+        fresh connection; errors on the retry propagate.
+
+        Retry scope: a stale idle keep-alive only exists on a REUSED
+        connection, so a non-idempotent POST is retried only when the
+        failed attempt reused one.  On a fresh connection the same
+        error means the server died mid-request — re-sending could
+        enqueue a prediction the engine already admitted (and, under
+        --max_queue backpressure, burn a slot during exactly the
+        failure windows it protects).  GETs (health/stats) are
+        idempotent and always retry once."""
         for attempt in (0, 1):
+            reused = self._conn is not None
             try:
                 if self._conn is None:
                     self._conn = http.client.HTTPConnection(
@@ -72,7 +82,7 @@ class PredictionClient:
             except (http.client.HTTPException, ConnectionError,
                     BrokenPipeError, OSError):
                 self.close()
-                if attempt:
+                if attempt or not (reused or method == "GET"):
                     raise
 
     def _check(self, status: int, path: str, data: bytes):

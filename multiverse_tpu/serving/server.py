@@ -91,8 +91,24 @@ def _make_handler(engine: ServingEngine):
             if self.path != "/v1/predict":
                 self._send(404, {"error": "not found"})
                 return
+            # body-framing guards, mirrored from the asyncio front end:
+            # on a keep-alive connection an UNREAD body desyncs every
+            # later request on the socket, so both rejects must also
+            # close the connection
+            if "chunked" in self.headers.get(
+                    "Transfer-Encoding", "").lower():
+                self._send(400, {"error": "chunked bodies unsupported"},
+                           extra_headers={"Connection": "close"})
+                return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length < 0:
+                    raise ValueError(length)
+            except ValueError:
+                self._send(400, {"error": "bad Content-Length"},
+                           extra_headers={"Connection": "close"})
+                return
+            try:
                 req = json.loads(self.rfile.read(length))
                 obs = np.asarray(req["obs_traj"], np.float32)
                 scene = req.get("scene_class_map")

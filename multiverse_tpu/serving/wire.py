@@ -49,11 +49,16 @@ def parse_tensor_frame(data: bytes) -> dict:
     head = json.loads(data[:nl])
     ts = tuple(head["trajs_shape"])
     n_traj = int(np.prod(ts))
+    # copy out of the response buffer: np.frombuffer over (immutable)
+    # bytes yields read-only views, but the JSON path returns writable
+    # arrays and callers may mutate results in place — the K×T×2 copy
+    # is a few KB
     trajs = np.frombuffer(
-        data, np.float32, count=n_traj, offset=nl + 1).reshape(ts)
+        data, np.float32, count=n_traj,
+        offset=nl + 1).reshape(ts).copy()
     ls = tuple(head["logprobs_shape"])
     logprobs = np.frombuffer(
         data, np.float32, count=int(np.prod(ls)),
-        offset=nl + 1 + n_traj * 4).reshape(ls)
+        offset=nl + 1 + n_traj * 4).reshape(ls).copy()
     return {"trajs": trajs, "logprobs": logprobs,
             "pred_len": head["pred_len"]}

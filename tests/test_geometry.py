@@ -104,5 +104,3 @@ def test_relative_to_abs():
     out = relative_to_abs(rel, [10.0, 5.0])
     np.testing.assert_allclose(out, [[11.0, 5.0], [12.0, 7.0],
                                      [12.0, 6.0]])
-
-

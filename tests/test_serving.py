@@ -233,7 +233,55 @@ def test_http_binary_transport_and_keepalive(rng, beam_setup):
         np.testing.assert_allclose(
             out_bin["logprobs"], out_json["logprobs"], atol=1e-6)
         assert out_bin["pred_len"] == out_json["pred_len"] == 4
+        # both transports return WRITABLE arrays (frombuffer over the
+        # response bytes is read-only unless copied)
+        out_bin["trajs"][0, 0, 0] += 1.0
+        out_json["trajs"][0, 0, 0] += 1.0
         assert client.healthy()                     # GET on same conn
+        client.close()
+    finally:
+        server.httpd.shutdown()
+        server.httpd.server_close()
+
+
+def test_http_server_rejects_unframed_bodies_and_closes(rng, beam_setup):
+    """Keep-alive body-framing guards on the THREADED server: a chunked
+    Transfer-Encoding or malformed Content-Length leaves the body
+    unread, so the server must answer 400 AND close the connection —
+    otherwise the unread bytes desync every later request on the
+    socket (the asyncio front end already rejects both)."""
+    import socket
+
+    cfg, _, eng = beam_setup
+    from multiverse_tpu.serving.server import PredictionServer
+
+    server = PredictionServer(eng, host="127.0.0.1", port=0)
+    server.start_background()
+    try:
+        for head, body in (
+                (b"POST /v1/predict HTTP/1.1\r\nHost: x\r\n"
+                 b"Transfer-Encoding: chunked\r\n\r\n",
+                 b"5\r\nhello\r\n0\r\n\r\n"),
+                (b"POST /v1/predict HTTP/1.1\r\nHost: x\r\n"
+                 b"Content-Length: abc\r\n\r\n", b"garbage"),
+                (b"POST /v1/predict HTTP/1.1\r\nHost: x\r\n"
+                 b"Content-Length: -7\r\n\r\n", b"")):
+            with socket.create_connection(
+                    ("127.0.0.1", server.port), timeout=10) as s:
+                s.sendall(head + body)
+                s.settimeout(10)
+                resp = b""
+                while True:
+                    chunk = s.recv(65536)
+                    if not chunk:
+                        break   # server closed — required
+                    resp += chunk
+                assert resp.startswith(b"HTTP/1.1 400"), resp[:80]
+        # the server still serves normal requests afterwards
+        from multiverse_tpu.serving.client import PredictionClient
+        client = PredictionClient(port=server.port)
+        out = client.predict(_random_obs(rng, cfg, 1)[0], pred_len=4)
+        assert out["trajs"].shape[0] == cfg.beam_size
         client.close()
     finally:
         server.httpd.shutdown()
@@ -319,30 +367,41 @@ def test_on_done_hook_failure_is_contained(rng):
         eng.close()
 
 
-def test_tpu_serving_overrides_flag_spellings():
+def test_tpu_serving_dtype_resolution_flag_spellings():
     """The TPU bf16+int8 serving default must yield to an explicit
-    --compute_dtype/--decode_quant in EITHER argparse spelling
-    ("--flag value" and "--flag=value"), and never fire off-TPU."""
-    from multiverse_tpu.cli.serve import tpu_serving_overrides
+    --compute_dtype/--decode_quant in EVERY argparse spelling
+    ("--flag value", "--flag=value", abbreviated prefixes), and never
+    fire off-TPU.  Explicitness is recorded by argparse itself
+    (None-sentinel defaults), so this drives the real parser."""
+    from multiverse_tpu.cli.serve import (
+        build_parser,
+        resolve_serving_dtypes,
+    )
 
     base = ["out", "model", "--port", "8500"]
-    assert tpu_serving_overrides(base, "tpu") == dict(
-        compute_dtype="bfloat16", decode_quant="int8")
-    assert tpu_serving_overrides(base, "cpu") == {}
-    for explicit in (["--compute_dtype", "float32"],
-                     ["--compute_dtype=float32"],
-                     ["--decode_quant", "none"],
-                     ["--decode_quant=none"],
-                     # argparse accepts unambiguous PREFIXES too — an
-                     # abbreviated explicit flag must still win over
-                     # the TPU default (it parsed to the same dest)
-                     ["--decode_qua", "int8_dyn"],
-                     ["--decode_qua=int8_dyn"],
-                     ["--compute_dt", "float32"]):
-        assert tpu_serving_overrides(base + explicit, "tpu") == {}
-    # a flag whose value merely mentions the name is not an override
-    assert tpu_serving_overrides(
-        base + ["--load_from", "ckpt--compute_dtype"], "tpu") != {}
+
+    def resolve(argv, backend):
+        a = build_parser().parse_args(argv)
+        return resolve_serving_dtypes(
+            backend, a.compute_dtype, a.decode_quant)
+
+    assert resolve(base, "tpu") == ("bfloat16", "int8")
+    assert resolve(base, "cpu") == ("float32", "none")
+    for explicit, expect in (
+            (["--compute_dtype", "float32"], ("float32", "none")),
+            (["--compute_dtype=float32"], ("float32", "none")),
+            (["--decode_quant", "none"], ("float32", "none")),
+            (["--decode_quant=none"], ("float32", "none")),
+            # argparse accepts unambiguous PREFIXES too — an
+            # abbreviated explicit flag must still win over the TPU
+            # default (it parses to the same dest)
+            (["--decode_qua", "int8_dyn"], ("float32", "int8_dyn")),
+            (["--decode_qua=int8_dyn"], ("float32", "int8_dyn")),
+            (["--compute_dt", "float32"], ("float32", "none"))):
+        assert resolve(base + explicit, "tpu") == expect
+    # a flag whose VALUE merely mentions the name is not an override
+    assert resolve(base + ["--load_from", "ckpt--compute_dtype"],
+                   "tpu") == ("bfloat16", "int8")
 
 
 def test_close_fails_inflight_when_resolver_stuck(rng):
@@ -576,6 +635,54 @@ def test_client_does_not_retry_on_timeout():
         t.join()
         for conn in accepted:
             conn.close()
+        srv.close()
+
+
+def test_client_no_post_retry_on_fresh_connection():
+    """A POST that dies on a FRESH connection must propagate, not
+    re-submit: the server may already have admitted the prediction
+    (the retry exists only for stale reused keep-alive sockets).  GETs
+    are idempotent and may retry."""
+    import socket
+
+    from multiverse_tpu.serving.client import PredictionClient
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    accepted = []
+    alive = threading.Event()
+    alive.set()
+
+    def sink():
+        srv.settimeout(0.2)
+        while alive.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            accepted.append(conn)
+            conn.recv(65536)   # read the request...
+            conn.close()       # ...then die without responding
+
+    t = threading.Thread(target=sink, daemon=True)
+    t.start()
+    try:
+        c = PredictionClient(port=port, timeout=5.0)
+        obs = np.zeros((8, 2), np.float32)
+        with pytest.raises(Exception):
+            c.predict(obs)
+        time.sleep(0.3)
+        assert len(accepted) == 1, \
+            "client re-submitted a POST after a fresh-connection failure"
+        # a GET retries once (idempotent): both attempts hit the server
+        assert c.healthy() is False
+        time.sleep(0.3)
+        assert len(accepted) == 3
+    finally:
+        alive.clear()
+        t.join()
         srv.close()
 
 
