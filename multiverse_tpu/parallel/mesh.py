@@ -228,6 +228,22 @@ def make_sharded_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def compat_shard_map(fn, mesh, in_specs, out_specs, check=False):
+    """jax.shard_map across jax versions: the varying-axis checker
+    kwarg is ``check_vma`` on jax>=0.8 (``jax.shard_map``) and
+    ``check_rep`` on the older experimental API.  Every shard_map in
+    the framework goes through here so the version shim lives in ONE
+    place."""
+    try:                                 # jax >= 0.8
+        from jax import shard_map
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=check)
+    except ImportError:                  # older jax
+        from jax.experimental.shard_map import shard_map
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=check)
+
+
 def shard_map_infer(fn: Callable, mesh: Mesh, batch: Batch):
     """Wrap an inference function (params, Batch) -> pytree in
     jax.shard_map over the "data" axis: every chip runs the FULL local
@@ -237,16 +253,14 @@ def shard_map_infer(fn: Callable, mesh: Mesh, batch: Batch):
     partition (pallas_call is an opaque custom call to it).  The scene
     table stays replicated (examples index into it globally); every
     output leaf has the batch axis leading."""
-    from jax.experimental.shard_map import shard_map
-
-    # check_rep off: replicated params feed scans whose carries become
+    # checker off: replicated params feed scans whose carries become
     # device-varying (zero init states) — the varying-axis checker
     # rejects that mix even though the math is batch-local and correct
-    return shard_map(
+    return compat_shard_map(
         fn, mesh=mesh,
         in_specs=(P(), batch_pspec(batch)),
         out_specs=P("data"),
-        check_rep=False)
+        check=False)
 
 
 def _make_shardmap_train_step(
@@ -267,8 +281,6 @@ def _make_shardmap_train_step(
     code/pred_models.py:999-1018), then the optimizer update runs
     identically on every chip, keeping state replicated.
     """
-    from jax.experimental.shard_map import shard_map
-
     def loss_fn(params, batch):
         out = model_forward(params, batch, cfg, is_train=True)
         total, parts = compute_loss(params, batch, out, cfg,
@@ -285,11 +297,11 @@ def _make_shardmap_train_step(
         return TrainState(state.step + 1, new_params, new_opt), parts
 
     def step(state: TrainState, batch: Batch):
-        fn = shard_map(
+        fn = compat_shard_map(
             local_step, mesh=mesh,
             in_specs=(P(), batch_pspec(batch)),
             out_specs=(P(), P()),
-            check_rep=False)
+            check=False)
         return fn(state, batch)
 
     return jax.jit(step, donate_argnums=(0,))

@@ -290,14 +290,14 @@ class ServingEngine:
             # per-chip SPMD via shard_map: the batch slice decodes with
             # the full fused-kernel path on every chip (GSPMD cannot
             # partition pallas_call)
-            from jax.experimental.shard_map import shard_map
+            from multiverse_tpu.parallel.mesh import compat_shard_map
 
             def sharded_step(p, raw):
-                return shard_map(
+                return compat_shard_map(
                     local_step, mesh=mesh,
                     in_specs=(P(), self._raw_specs),
                     out_specs=P("data"),
-                    check_rep=False)(p, raw)
+                    check=False)(p, raw)
 
             self._step = jax.jit(sharded_step)
         else:
