@@ -22,7 +22,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -102,7 +101,12 @@ def _gnn_attention_q8(h, scene_ref, mask_ref, with_scene):
     e = jnp.exp(edges - m)
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
     attn_q = jnp.round(attn * 127.0).astype(jnp.int8)
-    h_q = jnp.round(h.astype(jnp.float32) * 127.0).astype(jnp.int8)
+    # clip like the gate path: h is tanh-bounded from the in-repo
+    # callers, but this is a public entry point — an externally seeded
+    # state with |h| >= ~1.004 would otherwise WRAP in int8 and flip
+    # the sign of that channel's contribution
+    h_q = jnp.clip(jnp.round(h.astype(jnp.float32) * 127.0),
+                   -127.0, 127.0).astype(jnp.int8)
     agg = jnp.dot(attn_q, h_q,
                   preferred_element_type=jnp.int32).astype(
         jnp.float32) * (1.0 / (127.0 * 127.0))
@@ -226,21 +230,9 @@ def _decode_kernel_v2(ids_ref, h_ref, c_ref, scene_ref, mask_ref,
              + placed[2:2 + H, 2:2 + W, :]
              + bg_ref[:].astype(jnp.float32)).reshape(HW, D4)
     gates = gates + cell_b_ref[:]
-    D_ = D
-    i = gates[:, :D_]
-    g = gates[:, D_:2 * D_]
-    f = gates[:, 2 * D_:3 * D_]
-    o = gates[:, 3 * D_:]
-    c_old = c_ref[:].astype(jnp.float32)
-    new_c = (jax.nn.sigmoid(f + forget_bias) * c_old
-             + jax.nn.sigmoid(i) * jnp.tanh(g))
-    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+    new_c, new_h = _cell_update(gates, c_ref, forget_bias)
 
-    nh_sp = jnp.pad(new_h.astype(h.dtype).reshape(H, W, D),
-                    ((1, 1), (1, 1), (0, 0)))
-    nh_patches = jnp.concatenate(
-        [nh_sp[dy:dy + H, dx:dx + W, :].reshape(HW, D)
-         for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=-1)
+    nh_patches = _im2col9(new_h.astype(h.dtype), H, W)
     logits = jnp.dot(nh_patches, h2g_w_ref[:],
                      preferred_element_type=jnp.float32)
 
@@ -559,7 +551,6 @@ def decode_step_pallas(
     cell_w = cell_params["kernel"].astype(dtype).reshape(
         9 * Cin, 4 * D)
     cell_b = cell_params["bias"].astype(jnp.float32).reshape(1, 4 * D)
-    # [3, 3, D, 1] → shift-major [9·D, 1], lane-padded to 128
     # [3, 3, D, 1] -> [D, 9] (w9[d, 3dy+dx] = K[dy, dx, d]),
     # lane-padded; the kernel contracts channels first then sums
     # nine single-lane spatial shifts (see _decode_kernel)
