@@ -59,9 +59,12 @@ class EngineOverloadedError(RuntimeError):
 
     Backpressure signal for front ends (HTTP maps it to 503 +
     Retry-After): with a static-shape graph the engine's capacity is a
-    known constant, so once the queue holds more than ``max_queue``
-    requests every additional admission only inflates tail latency —
-    rejecting at the door keeps the p99 of admitted requests bounded.
+    known constant, so every admission beyond what the pipeline can
+    hold only inflates tail latency — rejecting at the door keeps the
+    p99 of admitted requests bounded.  The bound is on the QUEUE: the
+    total admitted backlog can reach ``max_queue`` queued plus up to
+    ``max_batch`` in the batch the batcher is forming while it waits
+    for a device slot, plus the in-flight batches.
     """
 
 
@@ -81,7 +84,7 @@ class _RawInputs(NamedTuple):
 
 class _Pending:
     __slots__ = ("obs_traj", "scene_onehot", "pred_len", "event",
-                 "result", "error", "t_submit", "on_done")
+                 "result", "error", "t_submit", "on_done", "abandoned")
 
     def __init__(self, obs_traj, scene_onehot, pred_len, on_done=None):
         self.obs_traj = obs_traj
@@ -94,6 +97,11 @@ class _Pending:
         # completion hook for event-loop front ends: called (from an
         # engine thread) right after `event` is set, exactly once
         self.on_done = on_done
+        # set by a waiter that gave up (predict timeout): the batcher
+        # drops abandoned requests instead of spending device batches
+        # on clients that are gone — during flap recovery those zombie
+        # rows would otherwise crowd out fresh traffic
+        self.abandoned = False
 
     def _finish(self):
         self.event.set()
@@ -114,6 +122,7 @@ class EngineStats:
     batches: int = 0
     errors: int = 0
     rejected: int = 0
+    abandoned: int = 0
     latency_sum_s: float = 0.0
     latency_max_s: float = 0.0
     # recent completion latencies for the percentile fields; bounded so
@@ -135,7 +144,7 @@ class EngineStats:
     def reset(self):
         with self._lock:
             self.requests = self.batches = self.errors = 0
-            self.rejected = 0
+            self.rejected = self.abandoned = 0
             self.latency_sum_s = self.latency_max_s = 0.0
             self._recent.clear()
 
@@ -150,6 +159,7 @@ class EngineStats:
                 "batches": self.batches,
                 "errors": self.errors,
                 "rejected": self.rejected,
+                "abandoned": self.abandoned,
                 "mean_batch_occupancy": round(occ, 2),
                 "mean_latency_ms": round(mean_lat * 1e3, 2),
                 "max_latency_ms": round(self.latency_max_s * 1e3, 2),
@@ -181,11 +191,15 @@ class ServingEngine:
             over its "data" axis (params replicate), so one server
             front end drives every chip of a slice; ``max_batch`` must
             be divisible by the data-axis size.
-        max_queue: bound on requests waiting for a batch slot (None =
-            unbounded).  When full, ``submit`` raises
+        max_queue: bound on the request QUEUE (None = unbounded; must
+            be >= 1 otherwise).  When full, ``submit`` raises
             :class:`EngineOverloadedError` instead of admitting work
             that could only wait — the backpressure signal the HTTP
-            front ends turn into 503 + Retry-After.
+            front ends turn into 503 + Retry-After.  The total
+            admission bound is ``max_queue`` queued + up to
+            ``max_batch`` in the forming batch (the batcher moves
+            requests out of the queue while waiting for a device
+            slot) + the in-flight batches.
     """
 
     def __init__(
@@ -204,6 +218,13 @@ class ServingEngine:
 
         from multiverse_tpu.inference import beam_forward, greedy_forward
 
+        if max_queue is not None and max_queue < 1:
+            # Queue(maxsize=0) means UNBOUNDED in python — the exact
+            # opposite of the strictest admission a 0 would be asking
+            # for, so reject it loudly instead of silently disabling
+            # backpressure
+            raise ValueError("max_queue must be >= 1 (or None for "
+                             "unbounded)")
         self.cfg = cfg.validate()
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
@@ -312,6 +333,8 @@ class ServingEngine:
             (self.F_scene, cfg.scene_h, cfg.scene_w, cfg.scene_class),
             np.uint8)
         rows[..., 0] = 1
+        # host-side copy source for the rare scene-attached batches
+        self._host_scene_template = rows.copy()
         if mesh is not None:
             from multiverse_tpu.parallel import replicate
 
@@ -320,7 +343,7 @@ class ServingEngine:
             self._default_scene = jax.device_put(jnp.asarray(rows))
 
         self._queue: "queue.Queue[_Pending]" = queue.Queue(
-            maxsize=max_queue or 0)
+            maxsize=0 if max_queue is None else max_queue)
         self._stop = threading.Event()
         self.stats = EngineStats()
         # two-stage pipeline: the batcher drains/builds/dispatches (host
@@ -389,10 +412,19 @@ class ServingEngine:
         if self._stop.is_set():
             raise RuntimeError("engine is closed")
         cfg = self.cfg
-        obs = np.asarray(obs_traj, np.float32)
+        # copy=True (np.array, not asarray): the batcher reads this
+        # buffer milliseconds later on its own thread — aliasing the
+        # caller's array would let a streaming client that reuses its
+        # buffer corrupt an in-flight batch with no error
+        obs = np.array(obs_traj, np.float32)
         if obs.shape != (cfg.obs_len, 2):
             raise ValueError(
                 f"obs_traj must be [{cfg.obs_len}, 2], got {obs.shape}")
+        if not np.isfinite(obs).all():
+            # same philosophy as the scene-id range check below: reject
+            # instead of silently decoding garbage (NaN maps to cell 0
+            # in the on-device int cast and comes back as 200 OK)
+            raise ValueError("obs_traj contains non-finite values")
         pl = self.T_pred if pred_len is None else int(pred_len)
         if not 1 <= pl <= self.T_pred:
             raise ValueError(
@@ -409,14 +441,15 @@ class ServingEngine:
                 f"retry after the current batches drain")
         if self._stop.is_set():
             # close() may already have swept the queue — fail whatever
-            # is left (any entry is safe to fail: the engine is closed)
+            # is left (any entry is safe to fail: the engine is closed);
+            # through _fail so the error accounting matches every other
+            # failure path
             while True:
                 try:
                     p = self._queue.get_nowait()
                 except queue.Empty:
                     break
-                p.error = RuntimeError("engine is closed")
-                p._finish()
+                self._fail([p], RuntimeError("engine is closed"))
         return pending
 
     def predict(
@@ -429,6 +462,9 @@ class ServingEngine:
         """Blocking submit + wait."""
         pending = self.submit(obs_traj, scene_class_map, pred_len)
         if not pending.event.wait(timeout):
+            # nobody will read the result: let the batcher drop it
+            # instead of spending a device-batch row on it
+            pending.abandoned = True
             raise TimeoutError("prediction timed out")
         if pending.error is not None:
             raise pending.error
@@ -564,10 +600,10 @@ class ServingEngine:
         if all(r.scene_onehot is None for r in reqs):
             scene_rows = self._default_scene  # device-resident, no xfer
         else:
-            scene_rows = np.zeros(
-                (self.F_scene, cfg.scene_h, cfg.scene_w,
-                 cfg.scene_class), np.uint8)
-            scene_rows[..., 0] = 1
+            # one memcpy of the prebuilt background template instead of
+            # zeros + a second background-channel fill pass (the table
+            # is the largest host buffer the batcher touches)
+            scene_rows = self._host_scene_template.copy()
             for a, r in enumerate(reqs):
                 if r.scene_onehot is not None:
                     scene_rows[a * T_obs:(a + 1) * T_obs] = r.scene_onehot
@@ -593,6 +629,17 @@ class ServingEngine:
             reqs = self._drain()  # holds one in-flight slot on success
             if not reqs:
                 continue
+            # drop requests whose waiter already timed out and left —
+            # during flap recovery, zombie rows would crowd fresh
+            # traffic out of whole device batches
+            live = [r for r in reqs if not r.abandoned]
+            if len(live) != len(reqs):
+                with self.stats._lock:
+                    self.stats.abandoned += len(reqs) - len(live)
+            if not live:
+                self._slots.release()
+                continue
+            reqs = live
             try:
                 batch = self._build_batch(reqs)
                 if self._mesh is not None:

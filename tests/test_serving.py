@@ -686,6 +686,61 @@ def test_client_no_post_retry_on_fresh_connection():
         srv.close()
 
 
+def test_submit_input_validation(rng, beam_setup):
+    """Non-finite coordinates are rejected at the door (a NaN would
+    silently decode as cell 0 and come back 200 OK), and max_queue=0
+    is a loud ValueError instead of python's Queue(0)=unbounded."""
+    cfg, _, eng = beam_setup
+    obs = _random_obs(rng, cfg, 1)[0]
+    bad = obs.copy()
+    bad[3, 1] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        eng.submit(bad)
+    bad[3, 1] = np.inf
+    with pytest.raises(ValueError, match="non-finite"):
+        eng.submit(bad)
+    from multiverse_tpu.serving.engine import ServingEngine
+    with pytest.raises(ValueError, match="max_queue"):
+        ServingEngine(None, cfg, max_queue=0)
+
+
+def test_abandoned_requests_are_dropped(rng):
+    """A predict() whose waiter timed out must not consume a device
+    batch row: the batcher drops it (counted in stats.abandoned) and
+    fresh traffic proceeds."""
+    cfg = tiny_config(use_beam_search=True, beam_size=2,
+                      diverse_beam=True, diverse_gamma=0.01,
+                      fix_num_timestep=1)
+    params, eng = _engine(cfg, max_batch=2, max_delay_ms=1.0, T_pred=3)
+    try:
+        eng.warmup()
+        gate = threading.Event()
+        orig_step = eng._step
+
+        def slow_step(p, b):
+            gate.wait(10)
+            return orig_step(p, b)
+
+        eng._step = slow_step
+        obs = _random_obs(rng, cfg, 1)[0]
+        blocker = eng.submit(obs)     # batcher takes it, stalls in step
+        deadline = time.time() + 5
+        while not eng._queue.empty() and time.time() < deadline:
+            time.sleep(0.005)
+        # this one stays QUEUED behind the stalled batch; its waiter
+        # gives up before the batcher ever sees it
+        with pytest.raises(TimeoutError):
+            eng.predict(obs, timeout=0.05)
+        gate.set()
+        assert blocker.event.wait(15) and blocker.error is None
+        # fresh traffic still lands, and the zombie was dropped
+        out = eng.predict(obs, timeout=15)
+        assert out.trajs.shape[0] == cfg.beam_size
+        assert eng.stats.snapshot()["abandoned"] == 1
+    finally:
+        eng.close()
+
+
 def test_bounded_queue_overload(rng):
     """max_queue bounds admission deterministically: with the batcher
     blocked inside a stalled device step, queued requests beyond the
