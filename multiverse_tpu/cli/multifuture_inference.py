@@ -94,6 +94,13 @@ def main(argv=None) -> None:
         **MultiverseConfig.parse_strides(args.grid_strides, args.use_grids),
     ).validate()
 
+    if args.greedy and args.save_prob_file:
+        # fail before hours of decode, not after: greedy has no beams,
+        # so the .prob.p contract cannot be produced
+        raise SystemExit(
+            "mvt-multifuture-inference: --save_prob_file requires "
+            "beam search; drop --greedy")
+
     inputs = load_multifuture_inputs(
         args.traj_path, args.multifuture_path,
         args.scene_feat_path, args.scene_id2name, cfg)

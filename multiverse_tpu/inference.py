@@ -432,7 +432,6 @@ def run_multifuture_inference(
     T_max: Optional[int] = None,
     greedy: bool = False,
     center_only: bool = False,
-    step_fn=None,
     need_prob: bool = True,
     prob_fetch_dtype: str = "float32",
 ) -> Tuple[Dict[str, list], Dict[str, tuple]]:
@@ -443,12 +442,12 @@ def run_multifuture_inference(
     The host link is kept off the critical path: trajectories
     reconstruct ON DEVICE (:func:`reconstruct_beam_trajs` — points are
     ~320 KB/batch vs ~7 MB of offset maps plus a host gather loop),
-    and need_prob=False additionally skips fetching the [N, K, T, H·W]
-    beam-logit tensor (the .prob.p payload, ~73 MB per batch at full
-    size) — pass False unless a --save_prob_file output is requested
-    (beam_prob then returns empty).  A caller-supplied `step_fn`
-    (returning the raw (BeamOutputs, reg_out)) uses the legacy
-    host-side reconstruction.
+    and need_prob=False additionally skips COMPUTING and fetching the
+    [N, K, T, H·W] beam-logit tensor (the .prob.p payload, ~73 MB per
+    batch at full size; gating it out of the jitted step also lets XLA
+    drop the scan's logit accumulation entirely) — pass False unless a
+    --save_prob_file output is requested (beam_prob then returns
+    empty, as it always does under greedy=True, which has no beams).
 
     prob_fetch_dtype="float16" casts the beam-logit tensor on device
     before the fetch and back to f32 on the host, halving the .prob.p
@@ -462,6 +461,10 @@ def run_multifuture_inference(
     checkpoint, STATUS.md §f16 prob fetch) — opt-in because the stored
     values are no longer bit-identical to the on-device f32 path.
     """
+    if prob_fetch_dtype not in ("float32", "float16"):
+        raise ValueError(
+            f"prob_fetch_dtype must be float32|float16, got "
+            f"{prob_fetch_dtype!r}")
     cfg = cfg.replace(use_beam_search=not greedy).validate()
     i = cfg.active_scales[0]
     h, w = cfg.scene_grids[i]
@@ -469,28 +472,36 @@ def run_multifuture_inference(
     N = len(inputs.traj_ids)
     T = T_max or int(inputs.pred_lengths.max())
     K = cfg.beam_size
-    legacy = step_fn is not None
 
-    if step_fn is None:
-        centers_j = jnp.asarray(centers, jnp.float32)
-        if greedy:
-            def _greedy_step(p, b):
-                logits, reg_out = greedy_forward(p, b, cfg, T_pred=T)
-                return reconstruct_greedy_trajs(
-                    logits, reg_out, centers_j, center_only)
+    centers_j = jnp.asarray(centers, jnp.float32)
+    if greedy:
+        def _greedy_step(p, b):
+            logits, reg_out = greedy_forward(p, b, cfg, T_pred=T)
+            return reconstruct_greedy_trajs(
+                logits, reg_out, centers_j, center_only)
 
-            step_fn = jax.jit(_greedy_step)
-        else:
-            fetch_dt = jnp.float16 \
-                if prob_fetch_dtype == "float16" else jnp.float32
+        step_fn = jax.jit(_greedy_step)
+    else:
+        # float16 casts on device (halves the wire bytes); float32
+        # fetches the logits in their NATIVE dtype — on the bf16 fast
+        # path that is bf16, upcast exactly to f32 on the host, so the
+        # default fetch never pays a device-side upcast's 2x bytes
+        fetch_dt = jnp.float16 if prob_fetch_dtype == "float16" else None
 
-            def _beam_step(p, b):
-                beam, reg_out = beam_forward(p, b, cfg, T_pred=T)
-                trajs = reconstruct_beam_trajs(
-                    beam.ids, reg_out, centers_j, center_only)
-                return trajs, beam.logprobs, beam.logits.astype(fetch_dt)
+        def _beam_step(p, b):
+            beam, reg_out = beam_forward(p, b, cfg, T_pred=T)
+            trajs = reconstruct_beam_trajs(
+                beam.ids, reg_out, centers_j, center_only)
+            if not need_prob:
+                # gated OUT of the jitted graph: XLA then drops the
+                # scan's [B, K, T, HW] logit accumulation instead of
+                # materializing ~73 MB/batch nobody fetches
+                return trajs, beam.logprobs, None
+            lg = beam.logits if fetch_dt is None \
+                else beam.logits.astype(fetch_dt)
+            return trajs, beam.logprobs, lg
 
-            step_fn = jax.jit(_beam_step)
+        step_fn = jax.jit(_beam_step)
 
     output_data: Dict[str, list] = {}
     beam_prob: Dict[str, tuple] = {}
@@ -506,10 +517,11 @@ def run_multifuture_inference(
                 trajs, logprobs, logits = jax.device_get(
                     (trajs, logprobs, logits))
                 # contract stays f32 regardless of the fetch dtype
+                # (bf16/f16 -> f32 upcast on the host)
                 logits = np.asarray(logits, np.float32)
             else:
                 trajs, logprobs = jax.device_get((trajs, logprobs))
-                logits = None                         # stays on device
+                logits = None              # never computed (see step)
             trajs = np.asarray(trajs)                 # [B, K, T, 2]
 
         for a, n in enumerate(idxs):
@@ -541,60 +553,11 @@ def run_multifuture_inference(
         padded = np.concatenate([idxs, np.full(pad, idxs[-1])]) \
             if pad else idxs
         batch = make_batch(inputs, padded, cfg)
-
-        if legacy:
-            self_out = _legacy_reconstruct(
-                step_fn, params, batch, inputs, idxs, cfg, centers,
-                T, K, h, w, greedy, center_only, need_prob)
-            output_data.update(self_out[0])
-            beam_prob.update(self_out[1])
-            continue
-
         pending.append((idxs, step_fn(params, batch)))
         if len(pending) >= 2:
             resolve(*pending.pop(0))
     for item in pending:
         resolve(*item)
-    return output_data, beam_prob
-
-
-def _legacy_reconstruct(step_fn, params, batch, inputs, idxs, cfg,
-                        centers, T, K, h, w, greedy, center_only,
-                        need_prob):
-    """Host-side reconstruction for caller-supplied step_fns returning
-    the raw (BeamOutputs, reg_out) / (class_logits, reg_out)."""
-    output_data: Dict[str, list] = {}
-    beam_prob: Dict[str, tuple] = {}
-    if greedy:
-        class_logits, reg_out = jax.device_get(step_fn(params, batch))
-        beam = None
-    else:
-        beam, reg_out = jax.device_get(step_fn(params, batch))
-    reg_out = np.asarray(reg_out)
-    for a, n in enumerate(idxs):
-        traj_id = inputs.traj_ids[n]
-        pred_len = min(int(inputs.pred_lengths[n]), T)
-        reg = reg_out[a, :pred_len].reshape(pred_len, h * w, 2)
-        if greedy:
-            sel = np.asarray(class_logits)[a, :pred_len].reshape(
-                pred_len, h * w).argmax(axis=1)
-            pts = centers[sel] + (0.0 if center_only else reg[
-                np.arange(pred_len), sel])
-            out_trajs = [list(pts) for _ in range(K)]
-        else:
-            out_trajs = []
-            for j in range(K):
-                ids_j = beam.ids[a, j, :pred_len]
-                pts = centers[ids_j]
-                if not center_only:
-                    pts = pts + reg[np.arange(pred_len), ids_j]
-                out_trajs.append(list(pts))
-        output_data[traj_id] = out_trajs
-        if beam is not None and need_prob:
-            beam_prob[traj_id] = (
-                np.asarray(beam.logits)[a:a + 1, :, :pred_len],
-                np.asarray(beam.logprobs)[a:a + 1],
-            )
     return output_data, beam_prob
 
 
@@ -604,9 +567,21 @@ def save_outputs(
     output_file: str,
     save_prob_file: Optional[str] = None,
 ) -> None:
+    if save_prob_file is not None and not beam_prob:
+        # a silently empty .prob.p (greedy decode, or need_prob=False)
+        # would only fail downstream in the NLL evaluator, hours after
+        # the run — refuse up front instead (the reference errors out
+        # in this combination too, reference:
+        # code/multifuture_inference.py:475-530 beam-only prob writes)
+        raise ValueError(
+            "save_prob_file requested but beam_prob is empty — the "
+            ".prob.p contract needs beam search (not greedy) and "
+            "need_prob=True")
     os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
     with open(output_file, "wb") as f:
         pickle.dump(output_data, f)
     if save_prob_file is not None:
+        os.makedirs(os.path.dirname(os.path.abspath(save_prob_file)),
+                    exist_ok=True)
         with open(save_prob_file, "wb") as f:
             pickle.dump(beam_prob, f)

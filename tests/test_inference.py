@@ -127,6 +127,34 @@ def test_save_outputs_roundtrip(tmp_path, setup):
     assert set(loaded_p) == set(inputs.traj_ids)
 
 
+def test_need_prob_false_and_input_validation(tmp_path, setup):
+    """need_prob=False never computes the logit tensor and returns an
+    empty beam_prob; unknown prob_fetch_dtype is a loud ValueError; and
+    save_outputs refuses a .prob.p request with an empty beam_prob
+    (silent empty pickles only fail hours later in the evaluator) but
+    creates missing parent dirs for BOTH outputs otherwise."""
+    from multiverse_tpu.inference import save_outputs
+
+    cfg, params, inputs = setup
+    out, prob = run_multifuture_inference(
+        params, inputs, cfg, batch_size=4, need_prob=False)
+    assert prob == {} and set(out) == set(inputs.traj_ids)
+
+    with pytest.raises(ValueError, match="prob_fetch_dtype"):
+        run_multifuture_inference(
+            params, inputs, cfg, batch_size=4, prob_fetch_dtype="fp16")
+
+    with pytest.raises(ValueError, match="beam_prob is empty"):
+        save_outputs(out, {}, str(tmp_path / "x.traj.p"),
+                     str(tmp_path / "x.prob.p"))
+
+    out2, prob2 = run_multifuture_inference(
+        params, inputs, cfg, batch_size=4)
+    save_outputs(out2, prob2, str(tmp_path / "a" / "o.traj.p"),
+                 str(tmp_path / "b" / "o.prob.p"))
+    assert (tmp_path / "b" / "o.prob.p").exists()
+
+
 def test_prob_fetch_dtype_f16(setup):
     """prob_fetch_dtype="float16" halves the device->host logit
     transfer but must keep the pickle contract: stored arrays stay
