@@ -139,25 +139,57 @@ class AsyncPredictionServer:
 
     # ----------------------------------------------------- connection
 
+    async def _reject_and_discard(self, reader, writer, payload: dict):
+        """Queue a 400 and best-effort drain the unread request bytes:
+        closing with data pending in the kernel receive buffer can RST
+        the socket and destroy the response we just wrote, so the
+        client would see ECONNRESET instead of the 400."""
+        writer.write(_json_response(400, payload, False))
+        try:
+            await writer.drain()
+            budget = 1 << 20
+            while budget > 0:
+                chunk = await asyncio.wait_for(
+                    reader.read(65536), timeout=0.25)
+                if not chunk:
+                    break
+                budget -= len(chunk)
+        except (asyncio.TimeoutError, ConnectionError, OSError,
+                ValueError):
+            pass
+
     async def _handle_conn(self, reader: asyncio.StreamReader,
                            writer: asyncio.StreamWriter):
+        blank_lines = 0
         try:
             while True:
                 try:
                     request_line = await reader.readline()
-                except (ConnectionError, asyncio.LimitOverrunError):
+                except ConnectionError:
                     break
                 except ValueError:
                     # readline() raises ValueError when no newline
-                    # arrives within the stream's 64 KB line limit —
+                    # arrives within the stream's 64 KB line limit
+                    # (it converts LimitOverrunError internally) —
                     # same abuse case as an overlong header line, so
                     # same answer: 400 and close (the rest of the
                     # stream is unframed garbage)
-                    writer.write(_json_response(
-                        400, {"error": "request line too long"}, False))
+                    await self._reject_and_discard(
+                        reader, writer,
+                        {"error": "request line too long"})
                     break
-                if not request_line or request_line == b"\r\n":
+                if not request_line:
                     break
+                if request_line in (b"\r\n", b"\n"):
+                    # RFC 7230 §3.5: tolerate blank line(s) between
+                    # keep-alive requests (legacy clients send a
+                    # trailing CRLF after the body) — bounded so a
+                    # blank-line flood cannot spin the loop
+                    blank_lines += 1
+                    if blank_lines > 16:
+                        break
+                    continue
+                blank_lines = 0
                 parts = request_line.decode("latin-1").split()
                 if len(parts) < 2:
                     break
@@ -178,30 +210,30 @@ class AsyncPredictionServer:
                             raise ValueError("too many header lines")
                         k, _, v = line.decode("latin-1").partition(":")
                         headers[k.strip().lower()] = v.strip()
-                except (ValueError, asyncio.LimitOverrunError):
+                except ValueError:
                     # a header line beyond the stream's 64 KB line
                     # limit (or past the count bound) — reject rather
                     # than die with an unhandled task exception (the
                     # rest of the stream is unframed garbage, so close
                     # the connection)
-                    writer.write(_json_response(
-                        400, {"error": "bad headers"}, False))
+                    await self._reject_and_discard(
+                        reader, writer, {"error": "bad headers"})
                     break
                 if "transfer-encoding" in headers:
                     # only Content-Length framing is supported; parsing
                     # a chunked body as length-0 would leave the chunks
                     # in the stream and desync keep-alive framing
-                    writer.write(_json_response(
-                        400, {"error": "transfer-encoding unsupported"},
-                        False))
+                    await self._reject_and_discard(
+                        reader, writer,
+                        {"error": "transfer-encoding unsupported"})
                     break
                 try:
                     length = int(headers.get("content-length", "0"))
                 except ValueError:
                     length = -1
                 if not 0 <= length <= _MAX_BODY:
-                    writer.write(_json_response(
-                        400, {"error": "bad content-length"}, False))
+                    await self._reject_and_discard(
+                        reader, writer, {"error": "bad content-length"})
                     break
                 body = await reader.readexactly(length) if length else b""
                 keep = headers.get("connection", "keep-alive"
@@ -230,6 +262,14 @@ class AsyncPredictionServer:
                                   keep)
         if method != "POST" or path != "/v1/predict":
             return _json_response(404, {"error": "not found"}, keep)
+        # the 400 arm wraps ONLY the synchronous request-parse/submit
+        # phase: a KeyError/ValueError/TypeError here is the client's
+        # input.  An asynchronous failure (pending.error, set by the
+        # engine's _fail on a batch that died in the device step) is a
+        # SERVER fault on a request that already passed validation —
+        # it must be a 500 even when the underlying exception type is
+        # ValueError/TypeError (jax trace errors often are), or clients
+        # treat an outage as their own bad input and never retry.
         try:
             req = json.loads(body)
             obs = np.asarray(req["obs_traj"], np.float32)
@@ -247,9 +287,20 @@ class AsyncPredictionServer:
             self.engine.submit(obs, scene_class_map=scene,
                                pred_len=req.get("pred_len"),
                                on_done=on_done)
+        except (KeyError, ValueError, TypeError) as exc:
+            return _json_response(400, {"error": str(exc)}, keep)
+        except EngineOverloadedError as exc:
+            # bounded-queue backpressure: one batch's worth of time is
+            # the natural retry hint (static graph = known cost)
+            return _json_response(503, {"error": str(exc)}, keep,
+                                  extra_headers={"Retry-After": "1"})
+        except Exception as exc:
+            return _json_response(500, {"error": str(exc)}, keep)
+        try:
             pending = await fut
             if pending.error is not None:
-                raise pending.error
+                return _json_response(
+                    500, {"error": str(pending.error)}, keep)
             result = pending.result
             if TENSOR_CONTENT_TYPE in headers.get("accept", ""):
                 return _raw_response(200, TENSOR_CONTENT_TYPE,
@@ -259,12 +310,5 @@ class AsyncPredictionServer:
                 "logprobs": result.logprobs.tolist(),
                 "pred_len": result.pred_len,
             }, keep)
-        except (KeyError, ValueError, TypeError) as exc:
-            return _json_response(400, {"error": str(exc)}, keep)
-        except EngineOverloadedError as exc:
-            # bounded-queue backpressure: one batch's worth of time is
-            # the natural retry hint (static graph = known cost)
-            return _json_response(503, {"error": str(exc)}, keep,
-                                  extra_headers={"Retry-After": "1"})
-        except Exception as exc:  # engine/device failure
+        except Exception as exc:  # response assembly / await failure
             return _json_response(500, {"error": str(exc)}, keep)

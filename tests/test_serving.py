@@ -530,11 +530,69 @@ def test_async_http_server_roundtrip(rng, beam_setup):
                       b"Transfer-Encoding: chunked\r\n\r\n"
                       b"5\r\nhello\r\n0\r\n\r\n")
             assert b" 400 " in s.recv(4096)
+        # an overlong REQUEST LINE (no newline at all): the 400 must
+        # actually reach the client — the server drains the unread
+        # bytes before closing so the response isn't destroyed by RST
+        with _socket.create_connection(
+                ("127.0.0.1", server.port), timeout=10) as s:
+            s.sendall(b"B" * (80 * 1024))
+            assert b" 400 " in s.recv(4096)
+        # RFC 7230 §3.5: a stray CRLF between keep-alive requests is
+        # skipped, not treated as end-of-connection
+        with _socket.create_connection(
+                ("127.0.0.1", server.port), timeout=10) as s:
+            s.sendall(b"GET /healthz HTTP/1.1\r\n\r\n"
+                      b"\r\n"
+                      b"GET /healthz HTTP/1.1\r\n\r\n")
+            buf = b""
+            deadline = time.time() + 10
+            while buf.count(b"HTTP/1.1 200") < 2 and time.time() < deadline:
+                buf += s.recv(4096)
+            assert buf.count(b"HTTP/1.1 200") == 2
         c2 = PredictionClient(port=server.port)
         assert c2.healthy()
         c2.close()
     finally:
         server.close(close_engine=False)   # the fixture owns the engine
+
+
+def test_async_server_engine_failure_is_500(rng):
+    """An ASYNC engine failure on a valid request must come back 500,
+    not 400: jax device/trace errors are often ValueError/TypeError,
+    and classifying them as client errors would stop clients from
+    retrying through an outage."""
+    import urllib.error
+    import urllib.request
+    import json as _json
+
+    cfg = tiny_config(use_beam_search=True, beam_size=2,
+                      diverse_beam=True, diverse_gamma=0.01,
+                      fix_num_timestep=1)
+    params, eng = _engine(cfg, max_batch=2, max_delay_ms=1.0, T_pred=3)
+    from multiverse_tpu.serving.aserver import AsyncPredictionServer
+
+    server = AsyncPredictionServer(eng, port=0)
+    server.start_background()
+    try:
+        eng.warmup()
+
+        def boom(p, b):
+            raise ValueError("fake jax trace error")
+
+        eng._step = boom
+        obs = _random_obs(rng, cfg, 1)[0]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/predict",
+            data=_json.dumps({"obs_traj": obs.tolist(),
+                              "pred_len": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=15)
+        assert ei.value.code == 500, \
+            "async engine ValueError must be 500, not 400"
+    finally:
+        server.close(close_engine=True)
 
 
 def test_async_server_connection_churn_no_fd_leak(rng, beam_setup):
