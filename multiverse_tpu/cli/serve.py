@@ -13,7 +13,9 @@ multiverse_tpu/serving/engine.py for the design).
 from __future__ import annotations
 
 import argparse
+import signal
 import sys
+import threading
 
 import jax
 
@@ -58,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="HTTP front end: one-event-loop asyncio "
                              "(default; no per-connection threads) or "
                              "the classic ThreadingHTTPServer")
+    parser.add_argument("--reload_poll_s", type=float, default=0.0,
+                        help="poll the run's checkpoint dir every N "
+                             "seconds and hot-swap newly saved weights "
+                             "into the serving engine without dropping "
+                             "traffic (0 = off; needs the checkpoint-"
+                             "manager load path, not --load_from/"
+                             "--random_init)")
     add_model_args(parser)
     # None-sentinel defaults: argparse itself records whether the user
     # gave these flags (in ANY spelling it accepts, including
@@ -90,6 +99,7 @@ def main(argv=None) -> None:
         use_beam_search=not args.greedy).validate()
 
     params = init_params(jax.random.PRNGKey(0), cfg)
+    ckpt = served_step = None
     if args.random_init:
         pass
     elif args.load_from is not None:
@@ -99,6 +109,11 @@ def main(argv=None) -> None:
             args.outbasepath, args.modelname, args.runId)
         ckpt = CheckpointManager(outpath)
         params = ckpt.restore_params(params, best=args.load_best)
+        served_step = ckpt.latest_step(best=args.load_best)
+    if args.reload_poll_s > 0 and ckpt is None:
+        raise SystemExit("mvt-serve: --reload_poll_s needs the "
+                         "checkpoint-manager load path (drop "
+                         "--load_from/--random_init)")
 
     mesh = None
     if args.num_devices != 1:
@@ -116,6 +131,32 @@ def main(argv=None) -> None:
     dt = engine.warmup()
     print(f"mvt-serve: warm in {dt:.1f}s", file=sys.stderr)
 
+    stop_reload = threading.Event()
+    if args.reload_poll_s > 0:
+        def _reload_loop():
+            nonlocal served_step
+            template = init_params(jax.random.PRNGKey(0), cfg)
+            while not stop_reload.wait(args.reload_poll_s):
+                try:
+                    # poll_ re-reads the dir: the new steps come from
+                    # the TRAINER process, invisible to orbax's
+                    # in-process step cache
+                    step = ckpt.poll_latest_step(best=args.load_best)
+                    if step is None or step == served_step:
+                        continue
+                    new = ckpt.restore_params(
+                        template, best=args.load_best)
+                    engine.update_params(new)
+                    served_step = step
+                    print(f"mvt-serve: hot-reloaded checkpoint step "
+                          f"{step}", file=sys.stderr)
+                except Exception as exc:   # keep serving old weights
+                    print(f"mvt-serve: reload failed ({exc}); keeping "
+                          f"current weights", file=sys.stderr)
+
+        threading.Thread(target=_reload_loop, name="mvt-serve-reload",
+                         daemon=True).start()
+
     if args.server_backend == "asyncio":
         from multiverse_tpu.serving.aserver import AsyncPredictionServer
 
@@ -126,6 +167,13 @@ def main(argv=None) -> None:
         server = PredictionServer(engine, host=args.host, port=args.port)
     print(f"mvt-serve: listening on http://{args.host}:{server.port} "
           f"({args.server_backend})", file=sys.stderr)
+
+    def _sigterm(*_):
+        # containers stop with SIGTERM: drain and close instead of
+        # dying mid-batch with waiters stranded
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         if args.server_backend == "asyncio":
             server.wait()
@@ -134,6 +182,7 @@ def main(argv=None) -> None:
     except KeyboardInterrupt:
         pass
     finally:
+        stop_reload.set()
         server.close()
 
 

@@ -388,6 +388,34 @@ class ServingEngine:
         self.stats.reset()   # compile time is not traffic latency
         return time.perf_counter() - t0
 
+    def update_params(self, params: dict) -> None:
+        """Swap the served weights WITHOUT dropping traffic (hot
+        reload; the reference retrains offline and has no serving to
+        reload).  The new pytree is placed on device (replicated under
+        a mesh) and the reference swapped atomically between batch
+        dispatches; batches already dispatched keep the old buffers
+        alive until they resolve, so every in-flight request finishes
+        on the weights it started with.  Same treedef/shapes required —
+        the compiled step graph is reused, zero recompiles."""
+        import jax
+
+        new_shapes = jax.tree.map(lambda x: np.shape(x), params)
+        cur_shapes = jax.tree.map(lambda x: x.shape, self._params)
+        if (jax.tree.structure(new_shapes)
+                != jax.tree.structure(cur_shapes)
+                or jax.tree.leaves(new_shapes)
+                != jax.tree.leaves(cur_shapes)):
+            raise ValueError(
+                "update_params: new pytree structure/shapes do not "
+                "match the served model (a different architecture "
+                "needs a new engine)")
+        if self._mesh is not None:
+            from multiverse_tpu.parallel import replicate
+
+            self._params = replicate(self._mesh, params)
+        else:
+            self._params = jax.device_put(params)
+
     def submit(
         self,
         obs_traj: np.ndarray,

@@ -77,6 +77,15 @@ class CheckpointManager:
     def latest_step(self, best: bool = False) -> Optional[int]:
         return self._latest(best)
 
+    def poll_latest_step(self, best: bool = False) -> Optional[int]:
+        """Like :meth:`latest_step`, but re-reads the directory first:
+        orbax caches its step list in-process, so steps written by
+        ANOTHER process (a trainer feeding a hot-reloading server) are
+        invisible to the plain call."""
+        mgr = self._best if best else self._save
+        mgr.reload()
+        return mgr.latest_step()
+
 
 def restore_params_from(path: str, template: dict) -> dict:
     """Standalone restore for inference (reference:

@@ -185,3 +185,12 @@ def test_train_loop_and_eval(prepro_dir, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # cross-process visibility (the hot-reload contract): a step saved
+    # by a DIFFERENT manager instance is invisible to the plain
+    # latest_step (orbax caches its step list per instance) but found
+    # by poll_latest_step, which re-reads the directory
+    writer = CheckpointManager(str(tmp_path / "run"))
+    writer.save(int(state.step) + 7, state.params, best=False)
+    assert mgr.latest_step(best=False) == int(state.step)
+    assert mgr.poll_latest_step(best=False) == int(state.step) + 7
