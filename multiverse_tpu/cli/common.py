@@ -27,13 +27,17 @@ class LossBuffer:
     the bad step.
     """
 
-    def __init__(self, loss_ma, period: int):
+    def __init__(self, loss_ma, period: int, aux_mas: dict = None):
         self._ma = loss_ma
         self._period = max(1, period)
-        self._pending: list = []   # [(step, device scalar)]
+        # optional named side series (e.g. {"wd": wd_ma}) fed PER STEP
+        # through the same batched transfer — the reference averages
+        # wd_loss every step too (reference: code/train.py:265)
+        self._aux_mas = aux_mas or {}
+        self._pending: list = []   # [(step, device scalar, aux dict)]
 
-    def put(self, step: int, loss) -> None:
-        self._pending.append((step, loss))
+    def put(self, step: int, loss, aux: dict = None) -> None:
+        self._pending.append((step, loss, aux or {}))
         if len(self._pending) >= self._period:
             self.flush()
 
@@ -42,15 +46,20 @@ class LossBuffer:
             return
         import jax
 
-        steps = [s for s, _ in self._pending]
+        steps = [s for s, _, _ in self._pending]
+        auxes = [a for _, _, a in self._pending]
         values = [float(v) for v in jax.device_get(
-            [v for _, v in self._pending])]
+            [v for _, v, _ in self._pending])]
+        aux_vals = jax.device_get(auxes)
         self._pending.clear()
-        for s, v in zip(steps, values):
+        for s, v, a in zip(steps, values, aux_vals):
             if math.isnan(v):
                 print("nan loss at step %d" % s)
                 sys.exit(1)
             self._ma.put(v)
+            for k, ma in self._aux_mas.items():
+                if k in a:
+                    ma.put(float(a[k]))
 
 
 def add_model_args(parser: argparse.ArgumentParser) -> None:

@@ -14,15 +14,18 @@ import argparse
 import json
 import math
 import os
+import time
 
 import jax
 
 from multiverse_tpu.cli.common import (
+    LossBuffer,
     add_model_args,
     add_train_args,
     config_from_args,
 )
 from multiverse_tpu.data.dataset import read_data
+from multiverse_tpu.data.prefetch import prefetch
 from multiverse_tpu.models import init_params
 from multiverse_tpu.parallel import (
     init_sharded_train_state,
@@ -38,7 +41,7 @@ from multiverse_tpu.train.checkpoints import (
 )
 from multiverse_tpu.train.evaluate import evaluate
 from multiverse_tpu.train.trainer import build_optimizer
-from multiverse_tpu.utils import MovingAverage, StepTimer, profile_trace
+from multiverse_tpu.utils import MovingAverage, profile_trace
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -103,6 +106,13 @@ def main(argv=None) -> None:
     elif args.load or args.load_best:
         params = ckpt.restore_params(params, best=args.load_best)
     state = init_sharded_train_state(params, tx, mesh)
+    # new saves continue ABOVE any steps already in this run dir:
+    # orbax raises StepAlreadyExistsError on a collision, and numbering
+    # below an old run's steps would make the NEXT --load silently
+    # restore the stale run (global_step itself restarts at 0 — the
+    # reference excludes global_step on restore too, so the LR
+    # schedule's restart is reference parity)
+    step_offset = ckpt.latest_step() or 0
 
     train_step = make_sharded_train_step(cfg, tx, mesh)
     eval_step = make_sharded_eval_step(cfg, mesh)
@@ -123,51 +133,76 @@ def main(argv=None) -> None:
     best = {metric: float("inf"), "step": -1}
     loss_ma = MovingAverage(args.loss_moving_avg_step)
     wd_ma = MovingAverage(args.loss_moving_avg_step)
-    timer = StepTimer(skip_first=1)
     val_perf = []
     finalperf = None
     global_step = int(jax.device_get(state.step))
 
-    from multiverse_tpu.cli.common import LossBuffer
-    from multiverse_tpu.data.prefetch import prefetch
-
-    loss_buf = LossBuffer(loss_ma, args.loss_fetch_period)
+    # wd rides the same batched transfer as the total loss, one sample
+    # per STEP like the reference's FIFO_ME (reference: code/train.py:265)
+    loss_buf = LossBuffer(loss_ma, args.loss_fetch_period,
+                          aux_mas={"wd": wd_ma})
 
     with mesh, profile_trace(args.profile):
+        if args.load or args.load_best or args.load_from:
+            # reference is_start branch (code/train.py:216-219): record
+            # the LOADED model's validation baseline before training,
+            # so best-model tracking can never end up worse than the
+            # starting checkpoint (no best-save here: the weights
+            # already exist on disk)
+            evalperf = evaluate(val_data, cfg, eval_fn,
+                                per_scene_eval=args.per_scene_eval)
+            best[metric] = evalperf[metric]
+            best["step"] = step_offset
+            val_perf.append((None, evalperf))
+            print("loaded baseline: val %s=%.4f" % (
+                metric, evalperf[metric]))
+
+        # steps/s is measured flush-to-flush: the flush's device_get is
+        # the only true sync point, so dispatch-side timers would
+        # report host enqueue rate, not device throughput
+        sync_t, sync_step = time.perf_counter(), 0
+
         for batch, _ in prefetch(train_data.get_batches(
                 cfg.batch_size, num_steps=num_steps), depth=2):
             global_step += 1
-
-            with timer:
-                state, losses = train_step(state, shard_batch(mesh, batch))
-
-            loss_buf.put(global_step, losses["total"])
+            state, losses = train_step(state, shard_batch(mesh, batch))
+            loss_buf.put(global_step, losses["total"],
+                         aux={"wd": losses["wd"]})
             if global_step % args.save_period == 0 \
                     or global_step == num_steps:
                 loss_buf.flush()
-                wd_ma.put(float(jax.device_get(losses["wd"])))
+                now = time.perf_counter()
+                steps_per_sec = (global_step - sync_step) / max(
+                    now - sync_t, 1e-9)
+                sync_t, sync_step = now, global_step
 
                 host_params = jax.device_get(state.params)
-                ckpt.save(global_step, host_params)
+                ckpt.save(global_step + step_offset, host_params)
                 evalperf = evaluate(
                     val_data, cfg, eval_fn,
                     per_scene_eval=args.per_scene_eval)
                 print("step %d: loss(ma)=%s wd(ma)=%s %.1f steps/s | val: %s"
                       " (best %s=%.4f @%d)" % (
-                          global_step, loss_ma, wd_ma, timer.steps_per_sec,
+                          global_step, loss_ma, wd_ma, steps_per_sec,
                           {k: round(v, 4) for k, v in sorted(
                               evalperf.items()) if "@T" not in k},
                           metric, best[metric], best["step"]))
                 if evalperf[metric] < best[metric]:
                     best[metric] = evalperf[metric]
-                    best["step"] = global_step
-                    ckpt.save(global_step, host_params, best=True)
+                    best["step"] = global_step + step_offset
+                    ckpt.save(global_step + step_offset, host_params,
+                              best=True)
                     val_perf.append((loss_ma.me(), evalperf))
                 finalperf = evalperf
         loss_buf.flush()
 
     with open(os.path.join(outpath, "val_perf.json"), "w") as f:
-        json.dump({"best": best, "val_perf": val_perf}, f, indent=2,
+        # json has no Infinity: a run too short to ever eval leaves the
+        # sentinel, stored as null so the file stays parseable
+        best_out = dict(best)
+        if math.isinf(best_out[metric]):
+            best_out[metric] = None
+        json.dump({"best": best_out, "val_perf": val_perf}, f, indent=2,
                   default=float)
     if finalperf is not None:
         print("best val %s: %.4f at step %d; final %s=%.4f" % (

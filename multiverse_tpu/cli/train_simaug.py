@@ -14,6 +14,7 @@ import argparse
 import json
 import math
 import os
+import time
 
 import jax
 
@@ -39,7 +40,7 @@ from multiverse_tpu.train.checkpoints import (
 )
 from multiverse_tpu.train.evaluate import evaluate
 from multiverse_tpu.train.trainer import init_train_state
-from multiverse_tpu.utils import MovingAverage, StepTimer
+from multiverse_tpu.utils import MovingAverage
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -126,6 +127,11 @@ def main(argv=None) -> None:
     elif args.load or args.load_best:
         params = ckpt.restore_params(params, best=args.load_best)
 
+    # new saves continue ABOVE any steps already in this run dir
+    # (orbax raises StepAlreadyExistsError on a collision; see
+    # cli/train.py for the full rationale)
+    step_offset = ckpt.latest_step() or 0
+
     # one optimizer: the tx applying updates must be the one whose
     # init produced state.opt_state
     state, tx = init_train_state(params, cfg, train_data.num_examples)
@@ -149,7 +155,6 @@ def main(argv=None) -> None:
     metric = "grid%d_traj_ade" % args.val_grid_num
     best = {metric: float("inf"), "step": -1}
     loss_ma = MovingAverage(args.loss_moving_avg_step)
-    timer = StepTimer()
     rng = jax.random.PRNGKey(args.seed + 1)
     global_step = 0
     finalperf = None
@@ -164,36 +169,46 @@ def main(argv=None) -> None:
     from multiverse_tpu.data.prefetch import prefetch
 
     loss_buf = LossBuffer(loss_ma, args.loss_fetch_period)
+    # steps/s measured flush-to-flush (the only true sync points —
+    # dispatch-side timing reports host enqueue rate, not the device)
+    sync_t, sync_step = time.perf_counter(), 0
 
     for batch, _ in prefetch(train_data.get_batches(
             cfg.batch_size, num_steps=num_steps), depth=2):
         global_step += 1
         rng, step_rng = jax.random.split(rng)
-        with timer:
-            state, losses = train_step(state, batch, step_rng)
+        state, losses = train_step(state, batch, step_rng)
         loss_buf.put(global_step, losses["total"])
 
         if global_step % args.save_period == 0 or global_step == num_steps:
             loss_buf.flush()
+            now = time.perf_counter()
+            steps_per_sec = (global_step - sync_step) / max(
+                now - sync_t, 1e-9)
+            sync_t, sync_step = now, global_step
             host_params = jax.device_get(state.params)
-            ckpt.save(global_step, host_params)
+            ckpt.save(global_step + step_offset, host_params)
             with mesh:
                 evalperf = evaluate(
                     val_data, cfg, make_eval_fn(host_params))
             print("step %d: loss(ma)=%s %.2f steps/s | val %s=%.4f "
                   "(best %.4f @%d)" % (
-                      global_step, loss_ma, timer.steps_per_sec,
+                      global_step, loss_ma, steps_per_sec,
                       metric, evalperf[metric],
                       best[metric], best["step"]))
             if evalperf[metric] < best[metric]:
                 best[metric] = evalperf[metric]
-                best["step"] = global_step
-                ckpt.save(global_step, host_params, best=True)
+                best["step"] = global_step + step_offset
+                ckpt.save(global_step + step_offset, host_params,
+                          best=True)
             finalperf = evalperf
 
     loss_buf.flush()
     with open(os.path.join(outpath, "val_perf.json"), "w") as f:
-        json.dump({"best": best}, f, indent=2, default=float)
+        best_out = dict(best)
+        if math.isinf(best_out[metric]):
+            best_out[metric] = None   # json has no Infinity token
+        json.dump({"best": best_out}, f, indent=2, default=float)
     if finalperf is not None:
         print("best val %s: %.4f at step %d" % (
             metric, best[metric], best["step"]))

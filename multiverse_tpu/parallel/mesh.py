@@ -209,23 +209,12 @@ def make_sharded_train_step(
             and cfg.allow_pallas):
         return _make_shardmap_train_step(cfg, tx, mesh)
 
-    cfg = _no_pallas_if_multidevice(cfg, mesh)
+    # the GSPMD step IS the single-device step — shardings propagate
+    # from the argument placement and XLA inserts the gradient
+    # all-reduce on its own, so reuse the one implementation
+    from multiverse_tpu.train.trainer import make_train_step
 
-    def loss_fn(params, batch):
-        out = model_forward(params, batch, cfg, is_train=True)
-        total, parts = compute_loss(params, batch, out, cfg)
-        return total, parts
-
-    def step(state: TrainState, batch: Batch):
-        (total, parts), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        parts = dict(parts)
-        parts["total"] = total
-        return TrainState(state.step + 1, new_params, new_opt), parts
-
-    return jax.jit(step, donate_argnums=(0,))
+    return make_train_step(_no_pallas_if_multidevice(cfg, mesh), tx)
 
 
 def compat_shard_map(fn, mesh, in_specs, out_specs, check=False):

@@ -59,8 +59,12 @@ def build_optimizer(
     elif name == "adam":
         opt = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
     elif name == "rmsprop":
-        # TF1 RMSPropOptimizer defaults: decay=0.9, eps=1e-10
-        opt = optax.rmsprop(schedule, decay=0.9, eps=1e-10)
+        # TF1 RMSPropOptimizer defaults: decay=0.9, eps=1e-10, and the
+        # mean-square slot starts at ONES (optax defaults it to zeros,
+        # which would make the first updates ~lr in magnitude instead
+        # of the reference's damped start)
+        opt = optax.rmsprop(schedule, decay=0.9, eps=1e-10,
+                            initial_scale=1.0)
     else:
         raise ValueError("unknown optimizer %s" % name)
 

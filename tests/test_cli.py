@@ -125,19 +125,32 @@ def test_train_simaug_cli(workdir, prepro):
 def test_train_resume_from_checkpoint(trained, prepro, workdir):
     """--load restores the best/latest params and continues training
     (reference: code/train.py:38-43, pred_utils.initialize — optimizer
-    slots and step excluded, like the reference's var filtering)."""
+    slots and step excluded, like the reference's var filtering).
+    New checkpoints must land ABOVE the previous run's steps — the
+    SAME --save_period as the first run would otherwise collide
+    (orbax StepAlreadyExistsError) or number below the stale run so a
+    later --load restores pre-resume weights."""
     from multiverse_tpu.cli import train
+    from multiverse_tpu.train.checkpoints import CheckpointManager
+
+    outpath = os.path.join(trained, "toy", "01")
+    before = CheckpointManager(outpath).latest_step()
+    assert before is not None and before > 0
 
     train.main([
         prepro, trained, "toy", "--runId", "1", "--load",
         "--batch_size", "4", "--num_epochs", "1",
-        "--save_period", "6", "--init_lr", "0.3",
+        "--save_period", "5", "--init_lr", "0.3",   # SAME period
         *MODEL_FLAGS,
     ])
-    outpath = os.path.join(trained, "toy", "01")
     with open(os.path.join(outpath, "val_perf.json")) as f:
         perf = json.load(f)
     assert perf["best"]["step"] > 0
+    after = CheckpointManager(outpath).latest_step()
+    assert after > before, (before, after)
+    # the loaded model's validation baseline was recorded before any
+    # training step (reference is_start branch, code/train.py:216-219)
+    assert perf["val_perf"][0][0] is None
 
 
 def test_test_cli_beam_mode(trained, prepro, workdir, capsys):
