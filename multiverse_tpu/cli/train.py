@@ -162,38 +162,43 @@ def main(argv=None) -> None:
         # report host enqueue rate, not device throughput
         sync_t, sync_step = time.perf_counter(), 0
 
-        for batch, _ in prefetch(train_data.get_batches(
-                cfg.batch_size, num_steps=num_steps), depth=2):
-            global_step += 1
-            state, losses = train_step(state, shard_batch(mesh, batch))
-            loss_buf.put(global_step, losses["total"],
-                         aux={"wd": losses["wd"]})
-            if global_step % args.save_period == 0 \
-                    or global_step == num_steps:
-                loss_buf.flush()
-                now = time.perf_counter()
-                steps_per_sec = (global_step - sync_step) / max(
-                    now - sync_t, 1e-9)
-                sync_t, sync_step = now, global_step
+        # close() in finally unblocks the producer thread even when a
+        # step raises mid-loop (a full queue would otherwise pin it +
+        # its buffered batches for the process lifetime)
+        with prefetch(train_data.get_batches(
+                cfg.batch_size, num_steps=num_steps), depth=2) as batches:
+            for batch, _ in batches:
+                global_step += 1
+                state, losses = train_step(
+                    state, shard_batch(mesh, batch))
+                loss_buf.put(global_step, losses["total"],
+                             aux={"wd": losses["wd"]})
+                if global_step % args.save_period == 0 \
+                        or global_step == num_steps:
+                    loss_buf.flush()
+                    now = time.perf_counter()
+                    steps_per_sec = (global_step - sync_step) / max(
+                        now - sync_t, 1e-9)
+                    sync_t, sync_step = now, global_step
 
-                host_params = jax.device_get(state.params)
-                ckpt.save(global_step + step_offset, host_params)
-                evalperf = evaluate(
-                    val_data, cfg, eval_fn,
-                    per_scene_eval=args.per_scene_eval)
-                print("step %d: loss(ma)=%s wd(ma)=%s %.1f steps/s | val: %s"
-                      " (best %s=%.4f @%d)" % (
-                          global_step, loss_ma, wd_ma, steps_per_sec,
-                          {k: round(v, 4) for k, v in sorted(
-                              evalperf.items()) if "@T" not in k},
-                          metric, best[metric], best["step"]))
-                if evalperf[metric] < best[metric]:
-                    best[metric] = evalperf[metric]
-                    best["step"] = global_step + step_offset
-                    ckpt.save(global_step + step_offset, host_params,
-                              best=True)
-                    val_perf.append((loss_ma.me(), evalperf))
-                finalperf = evalperf
+                    host_params = jax.device_get(state.params)
+                    ckpt.save(global_step + step_offset, host_params)
+                    evalperf = evaluate(
+                        val_data, cfg, eval_fn,
+                        per_scene_eval=args.per_scene_eval)
+                    print("step %d: loss(ma)=%s wd(ma)=%s %.1f steps/s "
+                          "| val: %s (best %s=%.4f @%d)" % (
+                              global_step, loss_ma, wd_ma, steps_per_sec,
+                              {k: round(v, 4) for k, v in sorted(
+                                  evalperf.items()) if "@T" not in k},
+                              metric, best[metric], best["step"]))
+                    if evalperf[metric] < best[metric]:
+                        best[metric] = evalperf[metric]
+                        best["step"] = global_step + step_offset
+                        ckpt.save(global_step + step_offset, host_params,
+                                  best=True)
+                        val_perf.append((loss_ma.me(), evalperf))
+                    finalperf = evalperf
         loss_buf.flush()
 
     with open(os.path.join(outpath, "val_perf.json"), "w") as f:

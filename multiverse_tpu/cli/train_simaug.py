@@ -173,35 +173,39 @@ def main(argv=None) -> None:
     # dispatch-side timing reports host enqueue rate, not the device)
     sync_t, sync_step = time.perf_counter(), 0
 
-    for batch, _ in prefetch(train_data.get_batches(
-            cfg.batch_size, num_steps=num_steps), depth=2):
-        global_step += 1
-        rng, step_rng = jax.random.split(rng)
-        state, losses = train_step(state, batch, step_rng)
-        loss_buf.put(global_step, losses["total"])
+    # close() in finally (context exit) unblocks the producer thread
+    # even when a step raises mid-loop
+    with prefetch(train_data.get_batches(
+            cfg.batch_size, num_steps=num_steps), depth=2) as batches:
+        for batch, _ in batches:
+            global_step += 1
+            rng, step_rng = jax.random.split(rng)
+            state, losses = train_step(state, batch, step_rng)
+            loss_buf.put(global_step, losses["total"])
 
-        if global_step % args.save_period == 0 or global_step == num_steps:
-            loss_buf.flush()
-            now = time.perf_counter()
-            steps_per_sec = (global_step - sync_step) / max(
-                now - sync_t, 1e-9)
-            sync_t, sync_step = now, global_step
-            host_params = jax.device_get(state.params)
-            ckpt.save(global_step + step_offset, host_params)
-            with mesh:
-                evalperf = evaluate(
-                    val_data, cfg, make_eval_fn(host_params))
-            print("step %d: loss(ma)=%s %.2f steps/s | val %s=%.4f "
-                  "(best %.4f @%d)" % (
-                      global_step, loss_ma, steps_per_sec,
-                      metric, evalperf[metric],
-                      best[metric], best["step"]))
-            if evalperf[metric] < best[metric]:
-                best[metric] = evalperf[metric]
-                best["step"] = global_step + step_offset
-                ckpt.save(global_step + step_offset, host_params,
-                          best=True)
-            finalperf = evalperf
+            if (global_step % args.save_period == 0
+                    or global_step == num_steps):
+                loss_buf.flush()
+                now = time.perf_counter()
+                steps_per_sec = (global_step - sync_step) / max(
+                    now - sync_t, 1e-9)
+                sync_t, sync_step = now, global_step
+                host_params = jax.device_get(state.params)
+                ckpt.save(global_step + step_offset, host_params)
+                with mesh:
+                    evalperf = evaluate(
+                        val_data, cfg, make_eval_fn(host_params))
+                print("step %d: loss(ma)=%s %.2f steps/s | val %s=%.4f "
+                      "(best %.4f @%d)" % (
+                          global_step, loss_ma, steps_per_sec,
+                          metric, evalperf[metric],
+                          best[metric], best["step"]))
+                if evalperf[metric] < best[metric]:
+                    best[metric] = evalperf[metric]
+                    best["step"] = global_step + step_offset
+                    ckpt.save(global_step + step_offset, host_params,
+                              best=True)
+                finalperf = evalperf
 
     loss_buf.flush()
     with open(os.path.join(outpath, "val_perf.json"), "w") as f:

@@ -46,8 +46,15 @@ class TrajectoryDataset:
         self.split = split
         self.num_examples = len(data["obs_traj"])
         # stable shuffle order: one permutation reused across epochs
-        # (reference: code/pred_utils.py:638-648)
+        # (reference: code/pred_utils.py:638-648), keyed by seed so a
+        # caller passing a DIFFERENT seed actually gets a new shuffle
         self._order: Optional[List[int]] = None
+        self._order_seed: Optional[int] = None
+        # persistent remap scratch (native.remap_first_seen restores
+        # it to -1 on return): a dataset feeds ONE thread at a time,
+        # and reallocating O(len(scene_feat)) per batch would scale
+        # host cost with the dataset, not the batch
+        self._remap_scratch: Optional[np.ndarray] = None
 
     # ---------------------------------------------------------------- info
     @property
@@ -100,9 +107,14 @@ class TrajectoryDataset:
         cap = self._scene_cap(len(idxs))
         scene_rows = self.shared["scene_feat"]
         obs_scene_old = d["obs_scene"][idxs][..., 0]  # [n, T]
+        if (self._remap_scratch is None
+                or len(self._remap_scratch) < len(scene_rows)):
+            self._remap_scratch = np.full(
+                max(len(scene_rows), 1), -1, np.int32)
         new_idx, old_rows, _ = native.remap_first_seen(
             obs_scene_old.astype(np.int32), cap,
-            max_id=len(scene_rows) - 1)
+            max_id=len(scene_rows) - 1,
+            scratch=self._remap_scratch)
         table = native.gather_rows(scene_rows, old_rows, cap)
 
         batch = Batch(
@@ -138,12 +150,18 @@ class TrajectoryDataset:
         n_per_epoch = self.num_batches(batch_size)
         if full:
             num_steps = n_per_epoch
+        if self.num_examples == 0 and num_steps > 0:
+            # n_per_epoch == 0 would otherwise spin the while-loop
+            # below forever (and hang a prefetch consumer silently)
+            raise ValueError(
+                "dataset %r is empty — check the prepropath" % self.split)
 
         if shuffle:
-            if self._order is None:
+            if self._order is None or self._order_seed != seed:
                 rnd = random.Random(seed)
                 self._order = list(range(self.num_examples))
                 rnd.shuffle(self._order)
+                self._order_seed = seed
             order = self._order
         else:
             order = list(range(self.num_examples))

@@ -83,6 +83,103 @@ def test_prefetch_order_and_errors():
             pass
 
 
+def test_prefetch_exhaustion_and_close():
+    """next() after exhaustion raises StopIteration (never blocks on
+    the empty queue), and close() unblocks a producer stuck on the
+    bounded queue so abandoning an iterator leaks nothing."""
+    import time
+
+    it = prefetch(iter(range(3)), depth=2)
+    assert list(it) == [0, 1, 2]
+    with pytest.raises(StopIteration):
+        next(it)          # must not hang
+
+    produced = []
+
+    def slow_gen():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    it2 = prefetch(slow_gen(), depth=2)
+    assert next(it2) == 0
+    it2.close()           # abandon early: producer must exit
+    deadline = time.time() + 5
+    while it2._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.01)
+    assert not it2._thread.is_alive(), "producer thread leaked"
+    assert len(produced) < 100
+    with pytest.raises(StopIteration):
+        next(it2)
+    # context-manager form
+    with prefetch(iter(range(5)), depth=1) as it3:
+        assert next(it3) == 0
+
+
+def test_remap_scratch_reuse_invariant():
+    """A persistent scratch is restored to all -1 on every return —
+    success AND the overflow-error path — so reuse across batches
+    cannot leak stale first-seen entries."""
+    if not native.have_native():
+        pytest.skip("no native lib")
+    scratch = np.full(40, -1, np.int32)
+    ids = np.asarray([[7, 3, 7], [12, 3, 0]], np.int32)
+    out1, table1, n1 = native.remap_first_seen(
+        ids, capacity=8, max_id=39, scratch=scratch)
+    assert (scratch == -1).all()
+    # identical result to the scratch-free call
+    out2, table2, n2 = native.remap_first_seen(ids, capacity=8,
+                                               max_id=39)
+    np.testing.assert_array_equal(out1, out2)
+    np.testing.assert_array_equal(table1, table2)
+    # overflow path restores the invariant wholesale
+    with pytest.raises(ValueError, match="overflow"):
+        native.remap_first_seen(np.arange(10, dtype=np.int32),
+                                capacity=5, max_id=39, scratch=scratch)
+    assert (scratch == -1).all()
+
+
+def test_get_batches_empty_dataset_and_seed():
+    """An empty dataset raises instead of spinning forever, and a new
+    seed actually reshuffles (the cached order is keyed by seed)."""
+    from multiverse_tpu.data.dataset import TrajectoryDataset
+    from tests.synthetic import tiny_config
+
+    cfg = tiny_config()
+    rng = np.random.RandomState(3)
+    n, T, Tp = 9, cfg.obs_len, cfg.pred_len
+    h, w = cfg.scene_grids[0]
+    S = cfg.num_scales
+    data = {
+        "obs_traj": rng.randn(n, T, 2).astype(np.float32),
+        "pred_traj": rng.randn(n, Tp, 2).astype(np.float32),
+        "obs_grid_class": rng.randint(0, h * w, (n, S, T)),
+        "pred_grid_class": rng.randint(0, h * w, (n, S, Tp)),
+        "obs_grid_target_all_0": rng.randn(
+            n, T, h, w, 2).astype(np.float32),
+        "pred_grid_target_all_0": rng.randn(
+            n, Tp, h, w, 2).astype(np.float32),
+        "obs_scene": rng.randint(0, 3, (n, T, 1)),
+        "traj_key": np.asarray(["k%d" % i for i in range(n)]),
+    }
+    shared = {"scene_feat": np.zeros(
+        (3, cfg.scene_h, cfg.scene_w, cfg.scene_class), np.uint8)}
+    ds = TrajectoryDataset(data, shared, cfg, "train")
+    b1 = [e["traj_key"] for _, e in ds.get_batches(4, num_steps=2,
+                                                   seed=1)]
+    b2 = [e["traj_key"] for _, e in ds.get_batches(4, num_steps=2,
+                                                   seed=1)]
+    assert b1 == b2                       # same seed -> same order
+    b3 = [e["traj_key"] for _, e in ds.get_batches(4, num_steps=2,
+                                                   seed=99)]
+    assert b1 != b3                       # new seed -> new shuffle
+
+    empty = {k: v[:0] for k, v in data.items()}
+    ds0 = TrajectoryDataset(empty, shared, cfg, "train")
+    with pytest.raises(ValueError, match="empty"):
+        next(ds0.get_batches(4, num_steps=5))
+
+
 def test_remap_rejects_out_of_range_ids():
     # the C kernel indexes a (max_id+1)-entry scratch with raw ids —
     # unvalidated out-of-range ids silently corrupted batches
