@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    cfg = config_from_args(args).replace(batch_size=args.batch_size)
+    cfg = config_from_args(args)   # batch_size copied from args there
 
     test_data = read_data(args.prepropath, "test", cfg)
 
@@ -63,18 +63,32 @@ def main(argv=None) -> None:
     params = replicate(mesh, params)
     eval_step = make_sharded_eval_step(cfg, mesh)
 
+    # eval_fn and beam_fn receive the SAME batch back-to-back from
+    # evaluate(); share one device placement instead of paying the
+    # (slow, ~10 MB/s tunneled) host->device transfer twice
+    _placed = {"src": None, "dev": None}
+
+    def _sharded(batch):
+        if _placed["src"] is not batch:
+            _placed["src"] = batch
+            _placed["dev"] = shard_batch(mesh, batch)
+        return _placed["dev"]
+
     def eval_fn(batch):
-        cl, rg = eval_step(params, shard_batch(mesh, batch))
+        cl, rg = eval_step(params, _sharded(batch))
         return jax.device_get(cl), jax.device_get(rg)
 
     beam_fn = None
     if cfg.use_beam_search:
-        from multiverse_tpu.inference import beam_forward
+        # the sharded helper keeps the fused Pallas decode kernel on
+        # multi-device meshes (shard_map per chip — GSPMD cannot
+        # partition pallas_call); at mesh size 1 it is a plain jit
+        from multiverse_tpu.parallel import make_sharded_beam_step
 
-        bstep = jax.jit(lambda p, b: beam_forward(p, b, cfg))
+        bstep = make_sharded_beam_step(cfg, mesh)
 
         def beam_fn(batch):
-            beam, _ = bstep(params, shard_batch(mesh, batch))
+            beam, _ = bstep(params, _sharded(batch))
             return BeamOutputs(*jax.device_get(tuple(beam)))
 
     with mesh:
@@ -87,10 +101,12 @@ def main(argv=None) -> None:
             beam_step_fn=beam_fn,
         )
 
-    # metric table (reference: code/test.py:157-182)
+    # metric table (reference: code/test.py:157-182) — full-precision
+    # "%s" floats like the reference, so runs can be diffed against
+    # recorded baselines without rounding noise
     numbers, names = [], []
     for k in sorted(perf.keys()):
-        numbers.append("%.5f" % perf[k])
+        numbers.append("%s" % perf[k])
         names.append(k)
     print(" ".join(names))
     print(" ".join(numbers))

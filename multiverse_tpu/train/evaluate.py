@@ -44,6 +44,16 @@ def evaluate(
     batch_size = batch_size or cfg.batch_size
     pred_len = cfg.pred_len
     S = cfg.num_scales
+    if len(cfg.active_scales) != 1 and (per_scene_eval
+                                        or beam_step_fn is not None):
+        # the per-scene lists and the beam pickle fields are keyed per
+        # EXAMPLE: a second active scale would append twice per example
+        # and silently corrupt them (the reference asserts exactly one
+        # grid for these paths, code/pred_utils.py:375,424)
+        raise ValueError(
+            "per_scene_eval / beam outputs need exactly one active "
+            "grid scale (got use_grids with %d active)"
+            % len(cfg.active_scales))
 
     correct = {i: [] for i in range(S)}
     correct_at_t = {i: [[] for _ in range(pred_len)] for i in range(S)}
@@ -110,6 +120,12 @@ def evaluate(
 
             if out_data is not None:
                 for a in range(n):
+                    # divergence from the reference (intentional): the
+                    # reference records seq_ids/obs/gt only when grid 0
+                    # is ACTIVE (pred_utils.py:521 `if j == 0`), so a
+                    # --use_grids 0,1 run writes empty id lists; here
+                    # they key off the lowest ACTIVE scale so the
+                    # pickle is always self-describing
                     if i == min(cfg.active_scales):
                         out_data["seq_ids"].append(extras["traj_key"][a])
                         out_data["obs_list"].append(extras["obs_traj"][a])
