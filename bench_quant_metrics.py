@@ -81,7 +81,9 @@ def main():
         make_train_step,
     )
 
-    sys.path.insert(0, "/root/repo/tests")
+    import os
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
     from synthetic import make_batch as make_train_batch
 
     cfg_train = MultiverseConfig(
