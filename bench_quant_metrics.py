@@ -115,9 +115,11 @@ def main():
             params, cfg_train,
             train_num_examples=args.train_batch * args.train_steps)
         step = make_train_step(cfg_train, tx)  # already jitted
-        # fixed pool of training batches, re-drawn per step like the
-        # round-3 int8-decision run (data is synthetic; what matters
-        # is a PEAKED trained checkpoint, not the loss value)
+        # a fresh synthetic batch is drawn per step from the seeded rnd
+        # stream, exactly as in the round-3 int8-decision run (data is
+        # synthetic; what matters is a PEAKED trained checkpoint, not
+        # the loss value)
+        parts = {"total": float("nan")}   # --train_steps 0 guard
         for i in range(args.train_steps):
             batch, _ = make_train_batch(rng, cfg_train, args.train_batch)
             state, parts = step(state, jax.device_put(batch))

@@ -93,6 +93,10 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--diverse_gamma", type=float, default=1.0)
     parser.add_argument("--fix_num_timestep", type=int, default=0)
     parser.add_argument("--beam_size", type=int, default=5)
+    parser.add_argument("--norm_input", action="store_true",
+                        help="scale scene one-hot maps to [-1,1] before "
+                             "the scene CNN (train AND eval — a model "
+                             "trained with this must be tested with it)")
     parser.add_argument("--compute_dtype", default="float32",
                         help="float32|bfloat16 conv/matmul compute")
     parser.add_argument("--decode_quant", default="none",
@@ -152,6 +156,7 @@ def config_from_args(args: argparse.Namespace) -> MultiverseConfig:
         diverse_gamma=args.diverse_gamma,
         fix_num_timestep=args.fix_num_timestep,
         beam_size=args.beam_size,
+        norm_input=args.norm_input,
         compute_dtype=args.compute_dtype,
         decode_quant=getattr(args, "decode_quant", "none"),
         remat=getattr(args, "remat", False),

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save_output", default=None)
     parser.add_argument("--use_gt_grid", action="store_true")
     parser.add_argument("--per_scene_eval", action="store_true")
+    parser.add_argument("--only_scene", default=None,
+                        help="restrict evaluation to one scene token "
+                             "(e.g. 0400; reference: SimAug/code/"
+                             "test.py:50, pred_utils.py:501-505)")
     add_model_args(parser)
     return parser
 
@@ -99,6 +103,7 @@ def main(argv=None) -> None:
             use_gt_grid=args.use_gt_grid,
             save_output=args.save_output,
             beam_step_fn=beam_fn,
+            only_scene=args.only_scene,
         )
 
     # metric table (reference: code/test.py:157-182) — full-precision

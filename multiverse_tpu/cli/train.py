@@ -162,6 +162,12 @@ def main(argv=None) -> None:
         # report host enqueue rate, not device throughput
         sync_t, sync_step = time.perf_counter(), 0
 
+        # train-time dropout (--keep_prob < 1): one fresh key per step;
+        # at keep_prob == 1 no rng is passed so the step executable is
+        # identical to the dropout-free build
+        dropout = cfg.keep_prob < 1.0
+        rng = jax.random.PRNGKey(args.seed + 1)
+
         # close() in finally unblocks the producer thread even when a
         # step raises mid-loop (a full queue would otherwise pin it +
         # its buffered batches for the process lifetime)
@@ -169,8 +175,13 @@ def main(argv=None) -> None:
                 cfg.batch_size, num_steps=num_steps), depth=2) as batches:
             for batch, _ in batches:
                 global_step += 1
-                state, losses = train_step(
-                    state, shard_batch(mesh, batch))
+                if dropout:
+                    rng, step_rng = jax.random.split(rng)
+                    state, losses = train_step(
+                        state, shard_batch(mesh, batch), step_rng)
+                else:
+                    state, losses = train_step(
+                        state, shard_batch(mesh, batch))
                 loss_buf.put(global_step, losses["total"],
                              aux={"wd": losses["wd"]})
                 if global_step % args.save_period == 0 \

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--load_best", action="store_true")
     parser.add_argument("--load_from", type=str, default=None)
     parser.add_argument("--val_grid_num", type=int, default=0)
+    parser.add_argument("--only_scene", default=None,
+                        help="restrict the in-training val eval to one "
+                             "scene token (reference: SimAug/code/"
+                             "train.py:51, pred_utils.py:501-505)")
     parser.add_argument("--save_period", type=int, default=300)
     parser.add_argument("--loss_moving_avg_step", default=100, type=int)
     parser.add_argument("--loss_fetch_period", default=20, type=int,
@@ -61,6 +65,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     add_model_args(parser)
     add_train_args(parser)
+    # the SimAug trainer DEFAULTS to recurrent dropout 0.7 — the base
+    # trainer defaults to 1.0 (reference: SimAug/code/train.py:159-160
+    # vs code/train.py:120); the published SimAug recipes pass no
+    # --keep_prob and therefore ran at 0.7
+    parser.set_defaults(keep_prob=0.7)
+    # SimAug's model always builds the scene-conv pyramid — the fork
+    # comments the flag out entirely (reference: SimAug/code/
+    # train.py:97); tower_forward needs the scene_conv params, so the
+    # flag is forced on here (SimAugConfig.validate rejects it off)
+    parser.set_defaults(use_scene_enc=True)
     # SimAug knobs (reference: SimAug/code/train.py:109-144)
     parser.add_argument("--adv_train", action="store_true")
     parser.add_argument("--adv_epsilon", type=float, default=0.1)
@@ -70,7 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                         default=0.0, type=float)
     parser.add_argument("--adv_use_fgsm", action="store_true")
     parser.add_argument("--standard_aug", action="store_true")
-    parser.add_argument("--norm_input", action="store_true")
+    # --norm_input comes from add_model_args (base-config field: the
+    # [-1,1] scaling applies at eval time too)
     parser.add_argument("--norm_feat", action="store_true")
     parser.add_argument("--use_mixup", action="store_true")
     parser.add_argument("--mixup_alpha", type=float, default=1.0)
@@ -90,7 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
 SIMAUG_FIELDS = (
     "adv_train", "adv_epsilon", "adv_step_size", "adv_num_iter",
     "adv_start_from_clean_prob", "adv_use_fgsm", "standard_aug",
-    "norm_input", "norm_feat", "use_mixup", "mixup_alpha",
+    "norm_feat", "use_mixup", "mixup_alpha",
     "mixup_mix_adv", "multiview_train", "multiview_max_num",
     "multiview_exp", "multiview_random", "multiview_max_weight_for_first",
     "multiview_use_adv_for_loss", "double_weighting", "fl_gamma",
@@ -194,7 +209,8 @@ def main(argv=None) -> None:
                 ckpt.save(global_step + step_offset, host_params)
                 with mesh:
                     evalperf = evaluate(
-                        val_data, cfg, make_eval_fn(host_params))
+                        val_data, cfg, make_eval_fn(host_params),
+                        only_scene=args.only_scene)
                 print("step %d: loss(ma)=%s %.2f steps/s | val %s=%.4f "
                       "(best %.4f @%d)" % (
                           global_step, loss_ma, steps_per_sec,

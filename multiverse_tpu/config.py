@@ -85,9 +85,23 @@ class MultiverseConfig:
     num_epoch_per_decay: float = 2.0
     use_cosine_lr: bool = False
     clip_gradient_norm: Optional[float] = 10.0
+    # train-time input dropout on all four ConvLSTM cells (the
+    # reference's DropoutWrapper(cell, keep_prob) under an is_train
+    # cond, reference: code/pred_models.py:130-131,195-249).  1.0 =
+    # off; the SimAug recipes default to 0.7
+    # (reference: SimAug/code/train.py:159-160).
     keep_prob: float = 1.0
     batch_size: int = 20
     num_epochs: int = 80
+
+    # Scale the one-hot scene-semantic maps to [-1, 1] before the scene
+    # CNN (SimAug's adversarial-learning input convention).  A BASE
+    # config field (not SimAug-only) because the reference applies it
+    # inside build_tower for train AND test alike
+    # (reference: SimAug/code/pred_models.py:284-286) and exposes the
+    # flag on its test driver (SimAug/code/test.py:103-105) — a model
+    # trained with norm_input must be evaluated with it too.
+    norm_input: bool = False
 
     # --- numerics
     compute_dtype: str = "float32"  # float32 | bfloat16 for conv compute
@@ -150,6 +164,9 @@ class MultiverseConfig:
         if self.enc_hidden_size != self.dec_hidden_size:
             # encoder last state seeds the decoder state directly
             raise ValueError("enc_hidden_size must equal dec_hidden_size")
+        if not (0.0 < self.keep_prob <= 1.0):
+            raise ValueError(
+                f"keep_prob must be in (0, 1], got {self.keep_prob}")
         if self.decode_quant not in ("none", "int8", "int8a",
                                      "int8_dyn"):
             raise ValueError(

@@ -134,6 +134,13 @@ def scene_encode(
     # scene masks ship as uint8 (11x less host->device traffic than the
     # reference's float32 feed); cast on device
     x = x.astype(compute_dtype or jnp.float32)
+    if cfg.norm_input:
+        # [-1, 1] input convention — applied for train AND eval, the
+        # reference normalizes inside build_tower unconditionally
+        # (reference: SimAug/code/pred_models.py:284-286); every
+        # forward path (greedy eval, beam decode, serving) funnels
+        # through here so a norm_input checkpoint evaluates correctly
+        x = x * 2.0 - 1.0
     outs = []
     feats = x
     for i in range(cfg.num_scales):
@@ -180,6 +187,8 @@ def greedy_decode(
     pred_gt: Optional[jnp.ndarray] = None,     # [N, T_pred, h, w, P]
     compute_dtype=None,
     allow_fused: bool = False,  # fused decode kernel (inference only)
+    keep_prob: float = 1.0,     # train-time input dropout on the cell
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Autoregressive ConvLSTM decode via lax.scan.
 
@@ -192,9 +201,17 @@ def greedy_decode(
     pred_gt[t] when predicting step t, reference: :391-405; reproduced
     verbatim for parity).
 
+    keep_prob / dropout_rng: the reference wraps the decoder cells in
+    ``DropoutWrapper(cell, keep_prob)`` — input dropout on the embedded
+    cell input, fresh mask per step, train-only (reference:
+    code/pred_models.py:242,249).  Active only when keep_prob < 1 AND
+    an rng is supplied (training); the fused inference kernel path
+    never sees dropout because allow_fused is inference-only.
+
     Returns (readouts [N, T, h, w, P], hidden states [N, T, h, w, D]).
     """
     act = get_activation(cfg.activation)
+    dropout = keep_prob < 1.0 and dropout_rng is not None
 
     emb_p = scale_params[emb_name]
     cell_p = scale_params[cell_name]
@@ -211,6 +228,7 @@ def greedy_decode(
 
     fused = (
         allow_fused
+        and not dropout
         and cfg.allow_pallas
         and feedback == "onehot"
         and use_gnn
@@ -271,6 +289,10 @@ def greedy_decode(
                                 allow_pallas=cfg.allow_pallas)
             state = ConvLSTMState(c=state.c, h=state.h + agg)
         emb = conv2d(emb_p, x, activation=act, compute_dtype=compute_dtype)
+        if dropout:
+            from multiverse_tpu.ops.convlstm import input_dropout
+            emb = input_dropout(
+                jax.random.fold_in(dropout_rng, t), emb, keep_prob)
         out, state = convlstm_step(cell_p, emb, state,
                                    compute_dtype=compute_dtype)
         logits = conv2d(h2g_p, out, compute_dtype=compute_dtype)
@@ -307,10 +329,28 @@ def model_forward(
     """Full forward pass (greedy decode path).
 
     reference: code/pred_models.py:123-308 `build_forward`.
+
+    ``rng`` drives train-time input dropout on the four ConvLSTM cells
+    when ``cfg.keep_prob < 1`` (the reference's DropoutWrapper under the
+    is_train cond, reference: code/pred_models.py:130-131); required at
+    train time then, unused otherwise.
     """
     compute_dtype = (
         jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     )
+    dropout_rng = None
+    if is_train and cfg.keep_prob < 1.0:
+        if rng is None:
+            raise ValueError(
+                "training with keep_prob < 1 needs an rng "
+                "(model_forward(..., rng=...))")
+        dropout_rng = rng
+
+    def site_rng(scale: int, site: int):
+        if dropout_rng is None:
+            return None
+        return jax.random.fold_in(dropout_rng, scale * 4 + site)
+
     act = get_activation(cfg.activation)
     N = batch.obs_grid_class.shape[0]
     T_obs = batch.obs_grid_class.shape[2]
@@ -344,11 +384,13 @@ def model_forward(
         _, enc_last = convlstm_scan(
             sp["enc_class"], enc_in, compute_dtype=compute_dtype,
             remat=cfg.remat,
+            keep_prob=cfg.keep_prob, dropout_rng=site_rng(i, 0),
         )
         if not cfg.use_single_decoder:
             _, enc_reg_last = convlstm_scan(
                 sp["enc_reg"], batch.obs_grid_target_all[idx],
                 compute_dtype=compute_dtype, remat=cfg.remat,
+                keep_prob=cfg.keep_prob, dropout_rng=site_rng(i, 1),
             )
 
         scene_mean = None
@@ -379,6 +421,8 @@ def model_forward(
             pred_gt=class_gt,
             compute_dtype=compute_dtype,
             allow_fused=not is_train,
+            keep_prob=cfg.keep_prob,
+            dropout_rng=site_rng(i, 2),
         )
         class_logits[i] = logits
         dec_states[i] = states
@@ -406,6 +450,8 @@ def model_forward(
                 feedback=reg_fb,
                 pred_gt=reg_gt,
                 compute_dtype=compute_dtype,
+                keep_prob=cfg.keep_prob,
+                dropout_rng=site_rng(i, 3),
             )
             reg_out[i] = reg
 

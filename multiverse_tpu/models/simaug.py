@@ -52,7 +52,8 @@ class SimAugConfig(MultiverseConfig):
     adv_num_iter: int = 30
     adv_start_from_clean_prob: float = 0.0
     adv_use_fgsm: bool = False
-    norm_input: bool = False
+    # norm_input lives on the BASE MultiverseConfig (the [-1,1] scene
+    # scaling applies at eval/inference time too — see config.py)
     norm_feat: bool = False
     standard_aug: bool = False
     use_mixup: bool = False
@@ -73,6 +74,15 @@ class SimAugConfig(MultiverseConfig):
                 and sum(self.use_grids) != 1:
             raise ValueError("adv/multiview training needs exactly one "
                              "active grid scale")
+        if not self.use_scene_enc:
+            # tower_forward convolves the raw scene features
+            # unconditionally — SimAug's model has no scene-enc-off
+            # mode (the reference fork comments the flag out,
+            # reference: SimAug/code/train.py:97) and init_params only
+            # creates the scene_conv pyramid when use_scene_enc is set
+            raise ValueError(
+                "SimAug training requires use_scene_enc=True "
+                "(the SimAug tower always convolves the scene input)")
         return self
 
 
@@ -114,6 +124,7 @@ def tower_forward(
     obs_reg: jnp.ndarray,          # [N, T_obs, h, w, 2]
     cfg: SimAugConfig,
     T_pred: Optional[int] = None,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward pass from raw scene features (single active scale).
 
@@ -122,6 +133,12 @@ def tower_forward(
     pyramid → scene⊙one-hot masked encoder → GNN-attended greedy class
     decode + offset decode.  Taking `scene_input` as an explicit arg is
     what makes the attack a plain `jax.grad`.
+
+    ``dropout_rng`` enables the train-time ConvLSTM input dropout when
+    ``cfg.keep_prob < 1`` (the SimAug towers wrap all four cells in
+    DropoutWrapper, reference: SimAug/code/pred_models.py:555-664 —
+    dropout is live inside the attack towers too, reproduced by
+    threading a key through every tower pass at train time).
     """
     T = T_pred or cfg.pred_len
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
@@ -130,6 +147,14 @@ def tower_forward(
     i = cfg.active_scales[0]
     h, w = cfg.scene_grids[i]
     sp = params["scales"][str(i)]
+
+    if cfg.keep_prob >= 1.0:
+        dropout_rng = None
+
+    def site_rng(site: int):
+        if dropout_rng is None:
+            return None
+        return jax.random.fold_in(dropout_rng, site)
 
     feats = scene_input.reshape((N * T_obs,) + scene_input.shape[2:])
     scene_convs = []
@@ -143,10 +168,14 @@ def tower_forward(
     enc_in = scene_convs[i] * obs_onehot
     _, enc_last = convlstm_scan(sp["enc_class"], enc_in,
                                 compute_dtype=compute_dtype,
-                                remat=cfg.remat)
+                                remat=cfg.remat,
+                                keep_prob=cfg.keep_prob,
+                                dropout_rng=site_rng(0))
     _, enc_reg_last = convlstm_scan(sp["enc_reg"], obs_reg,
                                     compute_dtype=compute_dtype,
-                                    remat=cfg.remat)
+                                    remat=cfg.remat,
+                                    keep_prob=cfg.keep_prob,
+                                    dropout_rng=site_rng(1))
 
     scene_mean = jnp.mean(scene_convs[i], axis=1) if cfg.use_gnn else None
 
@@ -162,6 +191,8 @@ def tower_forward(
         scene_mean=scene_mean,
         feedback="onehot",
         compute_dtype=compute_dtype,
+        keep_prob=cfg.keep_prob,
+        dropout_rng=site_rng(2),
     )
     reg, _ = greedy_decode(
         sp, cfg,
@@ -174,6 +205,8 @@ def tower_forward(
         use_gnn=False,
         feedback="raw",
         compute_dtype=compute_dtype,
+        keep_prob=cfg.keep_prob,
+        dropout_rng=site_rng(3),
     )
     return logits, reg
 
@@ -185,13 +218,14 @@ def _per_example_ce(
     obs_reg: jnp.ndarray,
     labels: jnp.ndarray,           # [N, T_pred] int32
     cfg: SimAugConfig,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Mean-over-time CE of the class head per example, [N]."""
     i = cfg.active_scales[0]
     h, w = cfg.scene_grids[i]
     logits, _ = tower_forward(
         params, scene_input, obs_onehot, obs_reg, cfg,
-        T_pred=labels.shape[1])
+        T_pred=labels.shape[1], dropout_rng=dropout_rng)
     logits = logits.reshape(labels.shape[0], labels.shape[1], h * w)
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     return ce.mean(axis=1)
@@ -219,22 +253,24 @@ def _start_adv(rng: jax.Array, feature: jnp.ndarray,
 
 
 def _attack_step(params, adv, obs_onehot, obs_reg, target, cfg,
-                 step_size, lower, upper):
+                 step_size, lower, upper, dropout_rng=None):
     """One signed-gradient step toward `target` + ε-ball/value clip
     (reference: SimAug/code/pred_models.py:91-130 `one_step_attack`)."""
     return _attack_step_with_loss(
         params, adv, obs_onehot, obs_reg, target, cfg,
-        step_size, lower, upper)[0]
+        step_size, lower, upper, dropout_rng)[0]
 
 
 def _attack_step_with_loss(params, adv, obs_onehot, obs_reg, target,
-                           cfg, step_size, lower, upper):
+                           cfg, step_size, lower, upper,
+                           dropout_rng=None):
     """One signed-gradient step PLUS the per-example CE at `adv`, both
     from a single forward+backward (the reference derives its view-
     ranking loss and the attack gradient from the same tower pass; a
     separate loss forward would cost ~1.5x for identical numbers)."""
     def f(s):
-        ce = _per_example_ce(params, s, obs_onehot, obs_reg, target, cfg)
+        ce = _per_example_ce(params, s, obs_onehot, obs_reg, target,
+                             cfg, dropout_rng)
         return ce.sum(), ce
 
     grad, ce = jax.grad(f, has_aux=True)(adv)
@@ -259,7 +295,7 @@ def white_box_attack(
     """
     i = cfg.active_scales[0]
     h, w = cfg.scene_grids[i]
-    k_t, k_s, k_m, k_s2 = jax.random.split(rng, 4)
+    k_t, k_s, k_m, k_s2, k_drop = jax.random.split(rng, 5)
 
     # random target != true label (reference :68-74)
     offset = jax.random.randint(k_t, labels.shape, 1, h * w)
@@ -271,22 +307,26 @@ def white_box_attack(
     if cfg.norm_feat:
         start = jax.nn.softmax(start, axis=-1)
 
-    def step(adv, size):
+    def step(adv, size, it):
+        # fresh dropout masks per attack tower pass (keep_prob < 1:
+        # the reference's dropout ops re-sample inside the attack
+        # while_loop too)
         return _attack_step(params, adv, obs_onehot, obs_reg, target,
-                            cfg, size, lower, upper)
+                            cfg, size, lower, upper,
+                            jax.random.fold_in(k_drop, it))
 
     if cfg.adv_use_fgsm:
-        adv = step(start, cfg.adv_epsilon)
+        adv = step(start, cfg.adv_epsilon, 0)
     else:
         adv = jax.lax.fori_loop(
             0, cfg.adv_num_iter,
-            lambda _, a: step(a, cfg.adv_step_size), start)
+            lambda it, a: step(a, cfg.adv_step_size, it), start)
 
     if cfg.use_mixup:
         weight = jax.random.beta(k_m, cfg.mixup_alpha, cfg.mixup_alpha)
         if cfg.mixup_mix_adv:
             adv2 = step(_start_adv(k_s2, scene_input, cfg),
-                        cfg.adv_epsilon)
+                        cfg.adv_epsilon, cfg.adv_num_iter + 1)
             adv = adv2 * weight + adv * (1.0 - weight)
         else:
             adv = scene_input * weight + adv * (1.0 - weight)
@@ -316,7 +356,7 @@ def multiview_augmentation(
     N, T_obs = scene_input.shape[:2]
     M = cfg.multiview_max_num
     T_pred = batch.pred_grid_class_extra.shape[-1]
-    k_a, k_a2, k_sel, k_m = jax.random.split(rng, 4)
+    k_a, k_a2, k_sel, k_m, k_drop = jax.random.split(rng, 5)
 
     # tile the current view's inputs across M (reference :420-446)
     def tile(x):
@@ -342,12 +382,14 @@ def multiview_augmentation(
     # :374-398) and shares the attack's forward+backward
     adv_out, view_loss = _attack_step_with_loss(
         params, start, onehot_tiled, reg_tiled, target, cfg,
-        cfg.adv_epsilon, lower, upper)
+        cfg.adv_epsilon, lower, upper,
+        jax.random.fold_in(k_drop, 0))
 
     if cfg.multiview_exp == 3 and cfg.multiview_use_adv_for_loss:
         start2 = _start_adv(k_a2, adv_out, cfg)
         view_loss = _per_example_ce(
-            params, start2, onehot_tiled, reg_tiled, target, cfg)
+            params, start2, onehot_tiled, reg_tiled, target, cfg,
+            jax.random.fold_in(k_drop, 1))
 
     view_loss = view_loss.reshape(N, M)
     adv_out = adv_out.reshape((N, M) + scene_tiled.shape[1:])
@@ -426,7 +468,7 @@ def simaug_loss(
     h, w = cfg.scene_grids[i]
     N = batch.obs_grid_class.shape[0]
     T_pred = cfg.pred_len
-    k_aug, k_jit = jax.random.split(rng)
+    k_aug, k_jit, k_drop = jax.random.split(rng, 3)
 
     scene_input = batch.scene_feat[
         batch.obs_scene.reshape(-1)
@@ -464,7 +506,7 @@ def simaug_loss(
 
     logits, reg = tower_forward(
         params, scene_input, obs_onehot, batch.obs_grid_target, cfg,
-        T_pred=T_pred)
+        T_pred=T_pred, dropout_rng=k_drop)
     logits2 = logits.reshape(N, T_pred, h * w)
 
     if mix is not None and cfg.multiview_exp == 3:

@@ -28,6 +28,24 @@ import jax.numpy as jnp
 from multiverse_tpu.ops.layers import Params
 
 
+def input_dropout(
+    key: jax.Array, x: jnp.ndarray, keep_prob: float
+) -> jnp.ndarray:
+    """Inverted dropout on a cell input (tf.nn.dropout semantics).
+
+    The reference wraps all four ConvLSTM cells in
+    ``tf.nn.rnn_cell.DropoutWrapper(cell, keep_prob)`` — the second
+    positional argument is ``input_keep_prob``, so this is dropout on
+    the CELL INPUT, with a fresh full-shape mask every timestep (the
+    wrapper is non-variational) and 1/keep_prob inverted scaling
+    (reference: code/pred_models.py:130-131 train-only cond, applied at
+    :195,:202,:242,:249; SimAug/code/pred_models.py:555-664).
+    """
+    mask = jax.random.bernoulli(key, p=keep_prob, shape=x.shape)
+    scale = jnp.asarray(1.0 / keep_prob, x.dtype)
+    return jnp.where(mask, x * scale, jnp.zeros((), x.dtype))
+
+
 class ConvLSTMState(NamedTuple):
     c: jnp.ndarray  # [N, H, W, D] cell memory
     h: jnp.ndarray  # [N, H, W, D] hidden
@@ -94,6 +112,8 @@ def convlstm_scan(
     forget_bias: float = 1.0,
     compute_dtype: Optional[jnp.dtype] = None,
     remat: bool = False,
+    keep_prob: float = 1.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, ConvLSTMState]:
     """Run the cell over time with ``lax.scan``.
 
@@ -107,9 +127,13 @@ def convlstm_scan(
         remat: checkpoint each step — the backward recomputes the gate
             conv instead of keeping [T, N, H, W, 4D] residuals in HBM
             (cfg.remat; enables large-batch training).
+        keep_prob / dropout_rng: train-time input dropout on the cell
+            input, fresh mask per timestep (see :func:`input_dropout`);
+            active only when keep_prob < 1 AND an rng is given.
     Returns:
         (outputs [N, T, H, W, D], final ConvLSTMState)
     """
+    dropout = keep_prob < 1.0 and dropout_rng is not None
     N, T = xs.shape[0], xs.shape[1]
     H, W = xs.shape[2], xs.shape[3]
     D = params["kernel"].shape[-1] // 4
@@ -127,6 +151,9 @@ def convlstm_scan(
     def body(carry, inp):
         state, t = carry
         x_t = inp
+        if dropout:
+            x_t = input_dropout(
+                jax.random.fold_in(dropout_rng, t), x_t, keep_prob)
         out, new_state = convlstm_step(
             params, x_t, state, forget_bias, compute_dtype
         )

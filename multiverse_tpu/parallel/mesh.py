@@ -270,28 +270,40 @@ def _make_shardmap_train_step(
     code/pred_models.py:999-1018), then the optimizer update runs
     identically on every chip, keeping state replicated.
     """
-    def loss_fn(params, batch):
-        out = model_forward(params, batch, cfg, is_train=True)
+    def loss_fn(params, batch, rng):
+        out = model_forward(params, batch, cfg, is_train=True, rng=rng)
         total, parts = compute_loss(params, batch, out, cfg,
                                     axis_name="data")
         return total, parts
 
-    def local_step(state: TrainState, batch: Batch):
+    def local_step(state: TrainState, batch: Batch, rng=None):
+        if rng is not None:
+            # decorrelate dropout masks across the data shards (the
+            # replicated rng would otherwise draw identical masks for
+            # every chip's local examples)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         (total, parts), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+            loss_fn, has_aux=True)(state.params, batch, rng)
         grads = jax.lax.pmean(grads, "data")
         parts = jax.lax.pmean(dict(parts, total=total), "data")
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, new_params, new_opt), parts
 
-    def step(state: TrainState, batch: Batch):
+    def step(state: TrainState, batch: Batch, rng=None):
+        if rng is None:
+            fn = compat_shard_map(
+                local_step, mesh=mesh,
+                in_specs=(P(), batch_pspec(batch)),
+                out_specs=(P(), P()),
+                check=False)
+            return fn(state, batch)
         fn = compat_shard_map(
             local_step, mesh=mesh,
-            in_specs=(P(), batch_pspec(batch)),
+            in_specs=(P(), batch_pspec(batch), P()),
             out_specs=(P(), P()),
             check=False)
-        return fn(state, batch)
+        return fn(state, batch, rng)
 
     return jax.jit(step, donate_argnums=(0,))
 

@@ -34,12 +34,18 @@ def evaluate(
     use_gt_grid: bool = False,
     save_output: Optional[str] = None,
     beam_step_fn: Optional[Callable] = None,
+    only_scene: Optional[str] = None,
 ) -> Dict[str, float]:
     """Run the full split and compute the reference metric table.
 
     step_fn(batch: Batch) -> (class_logits dict, reg dict) as numpy-able
     arrays [N, T, h, w, 1] / [N, T, h, w, 2].
     beam_step_fn: optional, returns BeamOutputs for the active scale.
+    only_scene: restrict every metric (and the output pickle) to the
+        examples whose traj_key scene matches — the reference skips
+        non-matching examples entirely inside its eval loop
+        (reference: SimAug/code/pred_utils.py:501-505, exposed on
+        SimAug/code/test.py:50 and train.py:51).
     """
     batch_size = batch_size or cfg.batch_size
     pred_len = cfg.pred_len
@@ -77,6 +83,16 @@ def evaluate(
             batch_size, full=True, shuffle=False):
         class_logits, reg_out = step_fn(batch)
         n = extras["original_batch_size"]
+        # ex_idx: original example indices that survive the scene
+        # filter — all downstream per-example arrays are sliced to it,
+        # while extras/beam lookups go through the original index
+        if only_scene is not None:
+            ex_idx = np.asarray(
+                [a for a in range(n)
+                 if get_scene(extras["traj_key"][a]) == only_scene],
+                np.int64)
+        else:
+            ex_idx = np.arange(n)
         beam = None
         if beam_step_fn is not None and out_data is not None:
             # beam ids/logprobs only feed the output pickle
@@ -88,9 +104,9 @@ def evaluate(
         for i in cfg.active_scales:
             h, w = cfg.scene_grids[i]
             logits = np.asarray(class_logits[i])[:n].reshape(
-                n, pred_len, h * w)
-            sel = logits.argmax(axis=2)  # [n, T]
-            gt_cells = extras["pred_grid_class"][:n, i]  # [n, T]
+                n, pred_len, h * w)[ex_idx]
+            sel = logits.argmax(axis=2)  # [m, T]
+            gt_cells = extras["pred_grid_class"][:n, i][ex_idx]  # [m, T]
             if use_gt_grid:
                 sel = gt_cells
 
@@ -100,26 +116,29 @@ def evaluate(
                 correct_at_t[i][t].extend(ok[:, t].tolist())
 
             centers = dataset.grid_centers[i].reshape(-1, 2)
-            reg = np.asarray(reg_out[i])[:n].reshape(n, pred_len, h * w, 2)
+            reg = np.asarray(reg_out[i])[:n].reshape(
+                n, pred_len, h * w, 2)[ex_idx]
             off = np.take_along_axis(
                 reg, sel[..., None, None], axis=2)[:, :, 0]
-            pred_pts = centers[sel] + off              # [n, T, 2]
+            pred_pts = centers[sel] + off              # [m, T, 2]
             center_pts = centers[sel]
 
-            gt_traj = extras["pred_traj"][:n]          # [n, T, 2]
-            d = np.sqrt(((gt_traj - pred_pts) ** 2).sum(-1))  # [n, T]
+            gt_traj = extras["pred_traj"][:n][ex_idx]  # [m, T, 2]
+            d = np.sqrt(((gt_traj - pred_pts) ** 2).sum(-1))  # [m, T]
             dc = np.sqrt(((gt_traj - center_pts) ** 2).sum(-1))
             l2[i].extend(d.tolist())
             l2_center[i].extend(dc.tolist())
 
             if per_scene_eval:
-                for a in range(n):
+                for j, a in enumerate(ex_idx):
                     scene = get_scene(extras["traj_key"][a])
                     if scene in l2_scenes:
-                        l2_scenes[scene].append(d[a])
+                        l2_scenes[scene].append(d[j])
 
             if out_data is not None:
-                for a in range(n):
+                # j indexes the filtered per-example arrays, a the
+                # original batch (extras / beam outputs)
+                for j, a in enumerate(ex_idx):
                     # divergence from the reference (intentional): the
                     # reference records seq_ids/obs/gt only when grid 0
                     # is ACTIVE (pred_utils.py:521 `if j == 0`), so a
@@ -129,10 +148,10 @@ def evaluate(
                     if i == min(cfg.active_scales):
                         out_data["seq_ids"].append(extras["traj_key"][a])
                         out_data["obs_list"].append(extras["obs_traj"][a])
-                        out_data["pred_gt_list"].append(gt_traj[a])
-                    out_data["grid%s_pred_traj" % i].append(pred_pts[a])
-                    out_data["grid%s_gt_class" % i].append(gt_cells[a])
-                    out_data["grid%s_class" % i].append(logits[a])
+                        out_data["pred_gt_list"].append(gt_traj[j])
+                    out_data["grid%s_pred_traj" % i].append(pred_pts[j])
+                    out_data["grid%s_gt_class" % i].append(gt_cells[j])
+                    out_data["grid%s_class" % i].append(logits[j])
                     if beam is not None:
                         out_data["beam_grid_ids"].append(
                             np.asarray(beam.ids)[a])
@@ -141,6 +160,10 @@ def evaluate(
 
     perf: Dict[str, float] = {}
     for i in cfg.active_scales:
+        if not l2[i]:
+            raise ValueError(
+                "no examples matched only_scene=%r (scenes present: "
+                "use --per_scene_eval to list them)" % (only_scene,))
         perf["grid%d_acc" % i] = float(np.mean(correct[i]))
         for t in range(pred_len):
             perf["grid%d_acc_@T=%d" % (i, t)] = float(

@@ -92,16 +92,21 @@ def make_train_step(
     cfg: MultiverseConfig,
     tx: optax.GradientTransformation,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, dict]]:
-    """One jitted SGD step. Returns (new_state, loss dict)."""
+    """One jitted SGD step. Returns (new_state, loss dict).
 
-    def loss_fn(params, batch):
-        out = model_forward(params, batch, cfg, is_train=True)
+    The optional third ``rng`` argument drives train-time input dropout
+    on the ConvLSTM cells; required when ``cfg.keep_prob < 1``
+    (model_forward raises otherwise), ignored at keep_prob == 1.
+    """
+
+    def loss_fn(params, batch, rng):
+        out = model_forward(params, batch, cfg, is_train=True, rng=rng)
         total, parts = compute_loss(params, batch, out, cfg)
         return total, parts
 
-    def step(state: TrainState, batch: Batch):
+    def step(state: TrainState, batch: Batch, rng=None):
         (total, parts), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+            loss_fn, has_aux=True)(state.params, batch, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         parts = dict(parts)

@@ -194,3 +194,51 @@ def test_train_loop_and_eval(prepro_dir, tmp_path):
     writer.save(int(state.step) + 7, state.params, best=False)
     assert mgr.latest_step(best=False) == int(state.step)
     assert mgr.poll_latest_step(best=False) == int(state.step) + 7
+
+
+def test_evaluate_only_scene(prepro_dir, tmp_path):
+    """only_scene must reproduce exactly the per-scene bucket metrics
+    (reference: SimAug/code/pred_utils.py:501-505 skips non-matching
+    examples inside the eval loop)."""
+    from multiverse_tpu.train.evaluate import get_scene
+
+    out, cfg = prepro_dir
+    ds = read_data(out, "test", cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eval_step = make_eval_step(cfg)
+    to_dev = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
+
+    def step_fn(batch):
+        cl, rg = eval_step(params, to_dev(batch))
+        return ({k: np.asarray(v) for k, v in cl.items()},
+                {k: np.asarray(v) for k, v in rg.items()})
+
+    scenes = sorted({get_scene(k) for k in ds.data["traj_key"]})
+    assert len(scenes) >= 2, scenes  # the filter must actually filter
+
+    # full run with per-scene buckets = the independent ground truth
+    # (the bucket loop and the ex_idx slicing are separate code paths)
+    full = evaluate(ds, cfg, step_fn, batch_size=4, per_scene_eval=True)
+
+    scene = scenes[0]
+    pkl = str(tmp_path / "filtered.p")
+    filt = evaluate(ds, cfg, step_fn, batch_size=4,
+                    only_scene=scene, save_output=pkl)
+    np.testing.assert_allclose(
+        filt["grid0_traj_ade"], full["%s_ade" % scene], rtol=1e-6)
+    np.testing.assert_allclose(
+        filt["grid0_traj_fde"], full["%s_fde" % scene], rtol=1e-6)
+    # metrics must differ from the unfiltered run (filter is real)
+    assert filt["grid0_traj_ade"] != full["grid0_traj_ade"]
+
+    # the output pickle is filtered too, and consistently so
+    import pickle
+    with open(pkl, "rb") as f:
+        saved = pickle.load(f)
+    n_scene = sum(get_scene(k) == scene for k in ds.data["traj_key"])
+    assert len(saved["seq_ids"]) == n_scene
+    assert all(get_scene(str(k)) == scene for k in saved["seq_ids"])
+    assert len(saved["grid0_pred_traj"]) == n_scene
+
+    with pytest.raises(ValueError, match="only_scene"):
+        evaluate(ds, cfg, step_fn, batch_size=4, only_scene="9999")

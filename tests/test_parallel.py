@@ -227,9 +227,12 @@ def test_sharded_beam_step_runs():
 
 def test_graft_entry_dryrun():
     import importlib
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    # repo root (__graft_entry__.py lives there, not in tests/)
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     g = importlib.import_module("__graft_entry__")
     g.dryrun_multichip(8)
     fn, args = g.entry()

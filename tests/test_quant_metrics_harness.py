@@ -2,11 +2,14 @@
 the experiment that sets the serving default tier; pin its pure-Python
 stages so it cannot rot between decision reruns."""
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+# repo root (bench_quant_metrics.py lives there, not in tests/)
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench_quant_metrics import synth_gt_futures
 from multiverse_tpu.eval.multifuture import (
