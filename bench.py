@@ -6,10 +6,11 @@ GNN, greedy offset decode — at the published Forking Paths
 configuration (18×32 grid, hidden 256, T=25 decode steps), batched
 across trajectories on one chip.
 
-The headline tier is bf16 + int8 gate matmul (the serving default,
-metric-neutral vs f32 on end metrics — see STATUS.md §int8 decision);
-the pure-bf16 tier is reported alongside with its achieved TFLOP/s and
-fraction of the chip's measured matmul roofline.
+The headline tier is bf16 + int8 gate AND attention matmuls ("int8a",
+the serving default since round 4 — fastest on chip AND metric-neutral
+vs f32 at 8 seeds, see STATUS.md §int8a decision); the int8 (gate-only)
+and pure-bf16 tiers are reported alongside, bf16 with its achieved
+TFLOP/s and fraction of the chip's measured matmul roofline.
 
 The reference decodes one trajectory per sess.run at batch size 1
 (reference: code/multifuture_inference.py:460-472) under TF1.
@@ -273,13 +274,29 @@ def main():
         int8_traj_per_sec, int8_windows = _best_window(
             lambda: sync(step8(params, batch)))
 
-    headline = int8_traj_per_sec or traj_per_sec
+    # int8a tier: int8 gate matmul PLUS int8 GNN-attention matmuls
+    # (ops/pallas_decode.py select_quant).  End metrics are neutral
+    # (Q8A_METRICS_r04.json); this field is the speed half of the
+    # "int8a wins BOTH -> default" decision rule (STATUS.md §int8a)
+    int8a_traj_per_sec = None
+    int8a_windows = None
+    if dev.platform == "tpu":
+        cfga = cfg.replace(decode_quant="int8a")
+        stepa = jax.jit(
+            lambda p, b: beam_forward(p, b, cfga, T_pred=T_PRED))
+        sync(stepa(params, batch))
+        sync(stepa(params, batch))
+        int8a_traj_per_sec, int8a_windows = _best_window(
+            lambda: sync(stepa(params, batch)))
+
+    headline = int8a_traj_per_sec or int8_traj_per_sec or traj_per_sec
     record = {
         "metric": "beam20_decode_throughput",
         "value": round(headline, 2),
         "unit": "traj/s",
         "vs_baseline": round(headline / REFERENCE_TRAJ_PER_SEC, 2),
-        "decode_quant": "int8" if int8_traj_per_sec else "none",
+        "decode_quant": ("int8a" if int8a_traj_per_sec else
+                         "int8" if int8_traj_per_sec else "none"),
         "bf16_value": round(traj_per_sec, 2),
         "bf16_tflops": round(tflops, 1),
         # best-of-N windows per tier (shared-chip flap guard); the
@@ -288,6 +305,9 @@ def main():
     }
     if int8_windows is not None:
         record["int8_windows"] = int8_windows
+    if int8a_traj_per_sec is not None:
+        record["int8a_value"] = round(int8a_traj_per_sec, 2)
+        record["int8a_windows"] = int8a_windows
     if roofline is not None:
         record["roofline_tflops"] = round(roofline, 1)
         record["bf16_mfu_vs_roofline"] = round(tflops / roofline, 3)
@@ -300,6 +320,9 @@ def main():
             # the blended peak is a floor
             record["int8_mfu_vs_2x_roofline"] = round(
                 int8_tflops / (2.0 * roofline), 3)
+    if int8a_traj_per_sec is not None:
+        record["int8a_tflops"] = round(
+            (step_flops * int8a_traj_per_sec / BATCH) / 1e12, 1)
     print(json.dumps(record))
 
 

@@ -77,9 +77,9 @@ def main():
         "dtype": "bfloat16",
     }
 
-    # opt-in int8 turbo tier on the same greedy path
+    # the serving-default quant tier (int8a) on the same greedy path
     if dev.platform == "tpu":
-        cfg8 = cfg.replace(decode_quant="int8").validate()
+        cfg8 = cfg.replace(decode_quant="int8a").validate()
 
         @jax.jit
         def step8(p, b):
@@ -91,7 +91,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(ITERS):
             sync(step8(params, batch))
-        record["int8_value"] = round(
+        record["int8a_value"] = round(
             BATCH * ITERS / (time.perf_counter() - t0), 2)
 
     print(json.dumps(record))

@@ -170,9 +170,10 @@ def main(greedy: bool = False, direct: bool = False, aio: bool = False):
         use_beam_search=not greedy, beam_size=20, diverse_beam=not greedy,
         diverse_gamma=0.01, fix_num_timestep=1,
         compute_dtype="bfloat16",
-        # the mvt-serve default tier (int8 gate matmul; metric-neutral
-        # on end metrics, STATUS.md §int8 decision)
-        decode_quant="int8").validate()
+        # the mvt-serve default tier (int8 gate + attention matmuls;
+        # metric-neutral on end metrics at 8 seeds AND the fastest
+        # decode tier on chip, STATUS.md §int8a decision)
+        decode_quant="int8a").validate()
     # greedy decodes ~13x faster per trajectory, so its saturation
     # batch is larger
     max_batch = MAX_BATCH * 4 if greedy else MAX_BATCH

@@ -77,9 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def resolve_serving_dtypes(backend: str, compute_dtype, decode_quant):
-    """Serving default on TPU: bf16 + int8 gate matmul — decided on END
-    metrics (8-seed minADE/minFDE/NLL deltas vs f32 are zero-mean and
-    inside run noise, STATUS.md §int8 decision), 1.38x the bf16 decode.
+    """Serving default on TPU: bf16 + int8 gate AND attention matmuls
+    ("int8a") — decided on the two-halves rule (STATUS.md §int8a
+    decision): END metrics at 8 seeds are tier-neutral vs f32
+    (Q8A_METRICS_r04.json: minADE/minFDE/NLL deltas zero-mean and
+    inside the f32 seed spread, matching int8's own profile) AND it is
+    the fastest tier on chip (106.4 traj/s vs int8 103.7 / bf16 75.3,
+    BENCH_r04).
 
     ``None`` means the flag was not given.  Any explicit flag disables
     the tier default entirely (the un-given one falls back to the
@@ -87,7 +91,7 @@ def resolve_serving_dtypes(backend: str, compute_dtype, decode_quant):
 
     Returns the final ``(compute_dtype, decode_quant)`` pair."""
     if backend == "tpu" and compute_dtype is None and decode_quant is None:
-        return "bfloat16", "int8"
+        return "bfloat16", "int8a"
     return compute_dtype or "float32", decode_quant or "none"
 
 

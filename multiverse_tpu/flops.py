@@ -90,3 +90,104 @@ def train_step_flops(cfg: MultiverseConfig, batch_size: int) -> float:
     """Forward + backward, with the standard 3x-forward convention for
     matmul/conv backward passes (grad wrt inputs + grad wrt weights)."""
     return 3.0 * train_fwd_flops(cfg, batch_size)
+
+
+# ------------------------------------------------- finer-grained counts
+
+
+def scene_cnn_flops(cfg: MultiverseConfig, n_frames: int) -> float:
+    """The strided scene conv pyramid over n_frames one-hot maps
+    (models/multiverse.py scene_encode: stride-2 convs, scale i output
+    = cfg.scene_grids[i])."""
+    f = 0.0
+    in_ch = cfg.scene_class
+    k = cfg.scene_conv_kernel
+    for i in range(cfg.num_scales):
+        h, w = cfg.scene_grids[i]
+        f += 2.0 * h * w * k * k * in_ch * cfg.scene_conv_dim
+        in_ch = cfg.scene_conv_dim
+    return n_frames * f
+
+
+def emb_conv_flops(h: int, w: int, p: int, e: int) -> float:
+    """3x3 decoder input embedding conv ([h,w,p] -> [h,w,e])."""
+    return 2.0 * h * w * 9 * p * e
+
+
+def train_segment_flops(cfg: MultiverseConfig,
+                        batch_size: int) -> dict:
+    """Per-segment FORWARD matmul/conv FLOPs of one training step, for
+    the per-segment roofline decomposition (bench_segments.py).  Keys
+    mirror model_forward's stages; the soft-grid label conv (fixed 7
+    kernels, models/multiverse.py soft_grid_labels) is counted under
+    'loss_softgrid'; the optimizer is elementwise (0 matmul FLOPs).
+
+    Unlike train_fwd_flops (kept stable for cross-round artifact
+    comparability), this ALSO counts the scene CNN, the decoder input
+    embedding convs, and the 2-channel reg readout exactly.
+    """
+    h, w, d, e, cs = _dims(cfg)
+    n = batch_size
+    enc_in = cs if cfg.use_scene_enc else e
+    segs = {
+        "scene_cnn": (scene_cnn_flops(cfg, n * cfg.obs_len)
+                      if cfg.use_scene_enc else 0.0),
+        "enc_class": n * cfg.obs_len * convlstm_step_flops(
+            h, w, enc_in, d),
+        "enc_reg": n * cfg.obs_len * convlstm_step_flops(h, w, 2, d),
+        "dec_class": n * cfg.pred_len * (
+            emb_conv_flops(h, w, 1, e)
+            + convlstm_step_flops(h, w, e, d)
+            + (gnn_step_flops(h, w, d, cs if cfg.use_scene_enc else 0)
+               if cfg.use_gnn else 0.0)
+            + readout_step_flops(h, w, d)),
+        "dec_reg": 0.0 if cfg.use_single_decoder else (
+            n * cfg.pred_len * (
+                emb_conv_flops(h, w, 2, e)
+                + convlstm_step_flops(h, w, e, d)
+                + 2.0 * readout_step_flops(h, w, d))),   # D->2 readout
+        # soft-grid smoothing: 7 fixed 3x3 single-channel kernels over
+        # the [N, T_pred, h, w] one-hot labels (only when enabled)
+        "loss_softgrid": (
+            n * cfg.pred_len * 2.0 * h * w * 9 * 7
+            if cfg.use_soft_grid_class else 0.0),
+        "optimizer": 0.0,
+    }
+    return segs
+
+
+def tower_fwd_flops(cfg: MultiverseConfig) -> float:
+    """One SimAug tower forward, per example (models/simaug.py
+    tower_forward: full scene pyramid + both encoders + both decoders
+    at the single active scale)."""
+    segs = train_segment_flops(cfg, 1)
+    return (segs["scene_cnn"] + segs["enc_class"] + segs["enc_reg"]
+            + segs["dec_class"] + segs["dec_reg"])
+
+
+def simaug_step_flops(cfg, batch_size: int) -> float:
+    """One SimAug training step (models/simaug.py simaug_loss).
+
+    Attack tower passes take the gradient wrt the INPUT only (no
+    weight grads), so each costs ~2x a forward; the final training
+    pass is a full fwd+bwd (3x).  Counts per mode:
+      multiview (exp 1-4): N*M tiled attack pass (+1 extra CE forward
+        when multiview_use_adv_for_loss) + N full train pass
+      adv_train: adv_num_iter PGD attack passes (1 for FGSM) + N full
+        train pass
+      clean/standard_aug: N full train pass only.
+    """
+    tower = tower_fwd_flops(cfg)
+    n = batch_size
+    f = 3.0 * n * tower                       # final fwd+bwd
+    if getattr(cfg, "multiview_train", False):
+        m = cfg.multiview_max_num
+        f += 2.0 * n * m * tower              # tiled attack fwd+bwd_in
+        if cfg.multiview_exp == 3 and cfg.multiview_use_adv_for_loss:
+            f += 1.0 * n * m * tower          # extra view-loss forward
+    elif getattr(cfg, "adv_train", False):
+        iters = 1 if cfg.adv_use_fgsm else cfg.adv_num_iter
+        f += 2.0 * n * iters * tower
+        if cfg.use_mixup and cfg.mixup_mix_adv:
+            f += 2.0 * n * tower
+    return f

@@ -368,7 +368,7 @@ def test_on_done_hook_failure_is_contained(rng):
 
 
 def test_tpu_serving_dtype_resolution_flag_spellings():
-    """The TPU bf16+int8 serving default must yield to an explicit
+    """The TPU bf16+int8a serving default must yield to an explicit
     --compute_dtype/--decode_quant in EVERY argparse spelling
     ("--flag value", "--flag=value", abbreviated prefixes), and never
     fire off-TPU.  Explicitness is recorded by argparse itself
@@ -385,7 +385,7 @@ def test_tpu_serving_dtype_resolution_flag_spellings():
         return resolve_serving_dtypes(
             backend, a.compute_dtype, a.decode_quant)
 
-    assert resolve(base, "tpu") == ("bfloat16", "int8")
+    assert resolve(base, "tpu") == ("bfloat16", "int8a")
     assert resolve(base, "cpu") == ("float32", "none")
     for explicit, expect in (
             (["--compute_dtype", "float32"], ("float32", "none")),
@@ -401,7 +401,7 @@ def test_tpu_serving_dtype_resolution_flag_spellings():
         assert resolve(base + explicit, "tpu") == expect
     # a flag whose VALUE merely mentions the name is not an override
     assert resolve(base + ["--load_from", "ckpt--compute_dtype"],
-                   "tpu") == ("bfloat16", "int8")
+                   "tpu") == ("bfloat16", "int8a")
 
 
 def test_close_fails_inflight_when_resolver_stuck(rng):
@@ -1015,10 +1015,10 @@ def test_async_server_survives_protocol_fuzz(rng, beam_setup):
 
 
 def test_mesh_engine_int8_default_matches_single_device(rng, monkeypatch):
-    """The TPU serving default — bf16 + decode_quant="int8" — over a
+    """The TPU serving default — bf16 + decode_quant="int8a" — over a
     DP mesh: the engine's own shard_map step (distinct wrapping from
     parallel.make_sharded_beam_step) must carry the quantized fused
-    kernels per chip and equal the single-device int8 engine."""
+    kernels per chip and equal the single-device int8a engine."""
     from multiverse_tpu.ops import pallas_decode
     from multiverse_tpu.parallel import make_mesh
     from multiverse_tpu.serving.engine import ServingEngine
@@ -1027,7 +1027,7 @@ def test_mesh_engine_int8_default_matches_single_device(rng, monkeypatch):
     cfg = tiny_config(use_beam_search=True, beam_size=3,
                       diverse_beam=True, diverse_gamma=0.01,
                       fix_num_timestep=1, compute_dtype="bfloat16",
-                      decode_quant="int8")
+                      decode_quant="int8a")
     params = init_params(jax.random.PRNGKey(0), cfg)
     eng_1 = ServingEngine(params, cfg, max_batch=4, max_delay_ms=1.0,
                           T_pred=4)
