@@ -293,6 +293,15 @@ def white_box_attack(
     steps, optional Beta mixup back toward the clean (or a second
     adversarial) feature.  Returns (adv features, target labels).
     """
+    # adversarial examples are DATA: the attack's outputs are
+    # stop_gradient'ed below, so the outer training grad never flows
+    # through the generation subgraph — stopping params HERE makes
+    # that structural, so jax.value_and_grad(simaug_loss) never has to
+    # linearize the inner jax.grad (the Pallas GNN custom_vjp has no
+    # forward-mode rule; without this the first on-chip step dies with
+    # "Linearization failed").  Matches the reference: its tf.gradients
+    # attack graph feeds tf.stop_gradient'ed features into the loss.
+    params = jax.lax.stop_gradient(params)
     i = cfg.active_scales[0]
     h, w = cfg.scene_grids[i]
     k_t, k_s, k_m, k_s2, k_drop = jax.random.split(rng, 5)
@@ -351,6 +360,12 @@ def multiview_augmentation(
     of the hardest view + clean feature of the selected view).
     Returns (augmented scene features, MixInfo for label mixing).
     """
+    # see white_box_attack: the attack/ranking subgraph is primal-only
+    # (its outputs — adv_final, focal — are stop_gradient'ed, and the
+    # view ORDER is integer), so params are stopped at entry to keep
+    # the outer training grad from linearizing the inner jax.grad
+    # through the Pallas custom_vjp
+    params = jax.lax.stop_gradient(params)
     i = cfg.active_scales[0]
     h, w = cfg.scene_grids[i]
     N, T_obs = scene_input.shape[:2]

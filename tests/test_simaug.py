@@ -230,3 +230,35 @@ def test_agent_grouping():
     # the singleton agent pads with itself
     np.testing.assert_array_equal(ex.obs_grid_class_extra[3, 0], obs[3])
     np.testing.assert_array_equal(ex.pred_grid_class_extra[3, 1], pred[3])
+
+
+def test_simaug_grad_through_pallas_gnn_dispatch(setup, monkeypatch):
+    """On the chip, gnn_step_auto routes the attack towers through the
+    Pallas GNN custom_vjp — which has NO forward-mode rule, so
+    jax.value_and_grad(simaug_loss) dies with "Linearization failed"
+    unless the attack subgraph is primal-only (params stop_gradient'ed
+    at the attack entry; its outputs already were).  CPU tests never
+    hit this (the dispatch is TPU-only), so this test replicates the
+    TPU dispatch via interpret mode and takes the full outer gradient.
+    """
+    import multiverse_tpu.models.multiverse as mv
+    from multiverse_tpu.ops.pallas_gnn import gnn_step_pallas
+
+    def pallas_dispatch(hidden, scene_feat=None, compute_dtype=None,
+                        allow_pallas=True):
+        return gnn_step_pallas(
+            hidden.astype(jnp.bfloat16),
+            None if scene_feat is None
+            else scene_feat.astype(jnp.bfloat16),
+            interpret=True)
+
+    monkeypatch.setattr(mv, "gnn_step_auto", pallas_dispatch)
+    cfg, params, batch = setup
+    cfg = cfg.replace(multiview_train=True)
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    (total, _), grads = jax.value_and_grad(simaug_loss, has_aux=True)(
+        params, jb, cfg, jax.random.PRNGKey(0))
+    assert np.isfinite(float(total))
+    gsum = sum(float(np.abs(np.asarray(g)).sum())
+               for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0
