@@ -44,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="restrict evaluation to one scene token "
                              "(e.g. 0400; reference: SimAug/code/"
                              "test.py:50, pred_utils.py:501-505)")
+    parser.add_argument("--show_center_only", action="store_true",
+                        help="include the grid-center-only ADE/FDE "
+                             "ablation in the key-metric summary "
+                             "(reference: code/test.py:60,164-166)")
+    parser.add_argument("--show_grid_acc_at_T", action="store_true",
+                        help="include per-timestep accuracies at "
+                             "T=0,4,9,11 in the key-metric summary "
+                             "(reference: code/test.py:49,167-170)")
     add_model_args(parser)
     return parser
 
@@ -106,15 +114,43 @@ def main(argv=None) -> None:
             only_scene=args.only_scene,
         )
 
-    # metric table (reference: code/test.py:157-182) — full-precision
-    # "%s" floats like the reference, so runs can be diffed against
-    # recorded baselines without rounding noise
-    numbers, names = [], []
+    # metric table (reference: code/test.py:157-182): every metric on
+    # its own "key, value" line, then a two-line KEY-METRIC summary
+    # (names, then values) filtered exactly like the reference —
+    # per-grid acc/ADE/FDE always, the center-only ablation behind
+    # --show_center_only, the T=0/4/9/11 accuracies behind
+    # --show_grid_acc_at_T, per-scene ADE/FDE with --per_scene_eval.
+    # Full-precision "%s" floats like the reference, so runs can be
+    # diffed against recorded baselines without rounding noise.
+    print("performance:")
+    key_metrics = []
+    for i in cfg.active_scales:
+        key_metrics += ["grid%d_acc" % i, "grid%d_traj_ade" % i,
+                        "grid%d_traj_fde" % i]
+        if args.show_center_only:
+            # divergence from the reference (intentional): its filter
+            # asks for grid%d_centerOnly_traj_* (code/test.py:165-166)
+            # but evaluate emits grid%d_traj_centerOnly_*
+            # (code/pred_utils.py:564-566), so the reference's flag
+            # silently never matches; use the emitted names
+            key_metrics += ["grid%d_traj_centerOnly_ade" % i,
+                            "grid%d_traj_centerOnly_fde" % i]
+        if args.show_grid_acc_at_T:
+            # min, max length, then 2 second, 4 second
+            # (reference: code/test.py:167-170)
+            key_metrics += ["grid%d_acc_@T=%d" % (i, t)
+                            for t in (0, 4, 9, 11)]
+    if args.per_scene_eval:
+        scenes = ["0000", "0002", "0400", "0401", "0500"]
+        key_metrics += ["%s_ade" % s for s in scenes]
+        key_metrics += ["%s_fde" % s for s in scenes]
+    numbers = []
     for k in sorted(perf.keys()):
-        numbers.append("%s" % perf[k])
-        names.append(k)
-    print(" ".join(names))
-    print(" ".join(numbers))
+        print("%s, %s" % (k, perf[k]))
+        if k in key_metrics:
+            numbers.append(("%s" % perf[k], k))
+    print(" ".join(k for _, k in numbers))
+    print(" ".join(v for v, _ in numbers))
 
 
 if __name__ == "__main__":

@@ -54,6 +54,13 @@ class AnnotationSession:
     moment_data: List[dict]
     obs_last_frame: int           # last obs-phase frame id
     max_frame: int                # timeout frame id
+    # multi-annotator sharding: start at moment start_idx, then take
+    # every job-th task (1-based cur_job), so several annotator
+    # processes split one moment file (reference:
+    # annotate_carla.py:74-77,330-332,413,497)
+    start_idx: int = 0
+    job: int = 1
+    cur_job: int = 1
     saved: Dict[str, list] = dataclasses.field(default_factory=dict)
     failure_counts: Dict[str, int] = dataclasses.field(
         default_factory=dict)
@@ -63,7 +70,10 @@ class AnnotationSession:
     _task_idx: int = 0
 
     def __post_init__(self):
-        self._tasks = list(iter_annotation_tasks(self.moment_data))
+        tasks = [t for t in iter_annotation_tasks(self.moment_data)
+                 if t[0] >= self.start_idx]
+        self._tasks = [t for i, t in enumerate(tasks)
+                       if i % self.job == self.cur_job - 1]
 
     # -------------------------------------------------------- schedule
     @property

@@ -79,9 +79,16 @@ def run_annotation_game(
     camera_rig: Optional[CameraRig] = None,
     throttle: bool = True,
     max_attempts: Optional[int] = None,
+    start_idx: int = 0,
+    job: int = 1,
+    cur_job: int = 1,
 ) -> dict:
     """One annotator pass; writes the saved-annotation JSON and
-    returns it (reference: annotate_carla.py main loop)."""
+    returns it (reference: annotate_carla.py main loop).
+
+    start_idx / job / cur_job shard the task list across several
+    annotator processes (reference: annotate_carla.py:74-77,330-332).
+    """
     import carla
     import pygame
 
@@ -90,7 +97,8 @@ def run_annotation_game(
     max_frame = (obs_length + pred_length) * frame_skip
 
     session = AnnotationSession(
-        moment_data, obs_last_frame=obs_last, max_frame=max_frame)
+        moment_data, obs_last_frame=obs_last, max_frame=max_frame,
+        start_idx=start_idx, job=job, cur_job=cur_job)
 
     pygame.init()
     rig = camera_rig or CameraRig(
@@ -213,6 +221,25 @@ def run_annotation_game(
     return session.saved
 
 
+def _save_seg_frame(image, save_seg_path: str, index: int,
+                    seg_as_img: bool) -> None:
+    """Save one semantic-segmentation sensor frame: CityScapes-palette
+    png when seg_as_img (the reference's ColorConverter, for eyeballs),
+    raw class-id png otherwise (what scene-feature extraction consumes;
+    reference: spectator.py:46-47,345-350)."""
+    import cv2
+
+    from multiverse_tpu.forking_paths.recorder import (
+        image_to_rgb,
+        seg_to_cityscapes,
+    )
+
+    rgb = image_to_rgb(image)
+    out = seg_to_cityscapes(rgb) if seg_as_img else rgb
+    cv2.imwrite(os.path.join(save_seg_path, "%06d.png" % index),
+                out[:, :, ::-1])  # RGB -> BGR for cv2
+
+
 def run_spectator(
     client,
     width: int = 1280,
@@ -220,6 +247,10 @@ def run_spectator(
     fov: float = 90.0,
     screenshot_path: str = "spectator_shots",
     max_ticks: Optional[int] = None,
+    start_pose: Optional[Transform] = None,
+    save_seg_path: Optional[str] = None,
+    save_bbox_json: Optional[str] = None,
+    seg_as_img: bool = False,
 ) -> None:
     """Free-fly camera with click → 3D world point, Info HUD, and
     frame recording (reference: spectator.py:135-200 movement/click,
@@ -229,7 +260,17 @@ def run_spectator(
     Keys: WASD+QE move, arrows rotate, click prints the 3D point under
     the cursor, P screenshot, R toggle recording (frames saved under
     screenshot_path/rec_NNNN/), F1 or H toggle the HUD, ESC quit.
-    `max_ticks` bounds the loop for headless tests.
+    `max_ticks` bounds the loop for headless tests.  `start_pose`
+    starts the fly-camera at a preset (the reference's go_to_* camera
+    presets, spectator.py:503-538).
+
+    save_seg_path spawns a semantic-segmentation camera alongside and
+    saves its frames while recording — CityScapes-palette pngs when
+    seg_as_img, raw class-id pngs otherwise (reference:
+    spectator.py:44-47,345-350; how the static scene-seg features of
+    new camera views are captured).  save_bbox_json collects every
+    recorded frame's projected walker/vehicle 2D boxes and writes one
+    json at exit (reference: spectator.py:624-675,708-711).
     """
     import carla
     import pygame
@@ -241,7 +282,7 @@ def run_spectator(
     world = client.get_world()
     bp_lib = world.get_blueprint_library()
 
-    pose = Transform(z=30.0, pitch=-45.0)
+    pose = start_pose or Transform(z=30.0, pitch=-45.0)
 
     def spawn_cams(pose):
         t = carla.Transform(
@@ -250,20 +291,57 @@ def run_spectator(
                 pitch=pose.pitch, yaw=pose.yaw, roll=pose.roll))
         rgb_bp = bp_lib.find("sensor.camera.rgb")
         depth_bp = bp_lib.find("sensor.camera.depth")
-        for bp in (rgb_bp, depth_bp):
+        bps = [rgb_bp, depth_bp]
+        if save_seg_path is not None:
+            bps.append(bp_lib.find(
+                "sensor.camera.semantic_segmentation"))
+        for bp in bps:
             bp.set_attribute("image_size_x", str(width))
             bp.set_attribute("image_size_y", str(height))
             bp.set_attribute("fov", str(fov))
-        return (world.spawn_actor(rgb_bp, t),
-                world.spawn_actor(depth_bp, t))
+        return [world.spawn_actor(bp, t) for bp in bps]
 
-    rgb_cam, depth_cam = spawn_cams(pose)
-    last = {"rgb": None, "depth": None}
+    cams = spawn_cams(pose)
+    rgb_cam, depth_cam = cams[0], cams[1]
+    last = {"rgb": None, "depth": None, "seg": None}
     rgb_cam.listen(lambda im: last.__setitem__("rgb", im))
     depth_cam.listen(lambda im: last.__setitem__("depth", im))
+    if save_seg_path is not None:
+        cams[2].listen(lambda im: last.__setitem__("seg", im))
+        os.makedirs(save_seg_path, exist_ok=True)
+    bbox_data: dict = {}  # frame index -> [{bbox, class_name, track_id}]
     shot = 0
     show_hud = True
     recording = None  # None or (dir, next_frame_index)
+
+    def world_actor_boxes():
+        """Projected 2D boxes of every walker/vehicle in the world
+        from the current pose (reference: spectator.py:648-661)."""
+        from multiverse_tpu.forking_paths.camera import (
+            project_3d_box,
+            to_2d_bbox,
+        )
+
+        rig = CameraRig(pose, width, height, fov)
+        boxes = []
+        for actor in world.get_actors():
+            if actor.type_id.startswith("walker."):
+                class_name = "Person"
+            elif actor.type_id.startswith("vehicle."):
+                class_name = "Vehicle"
+            else:
+                continue
+            ext = actor.bounding_box.extent
+            loc = actor.bounding_box.location
+            corners = project_3d_box(
+                (ext.x, ext.y, ext.z),
+                Transform.from_carla(actor.get_transform()), rig,
+                center_offset=(loc.x, loc.y, loc.z))
+            bb = to_2d_bbox(corners, width, height)
+            if bb is not None:
+                boxes.append({"bbox": bb, "class_name": class_name,
+                              "track_id": actor.id})
+        return boxes
 
     def draw_hud():
         lines = [
@@ -351,8 +429,8 @@ def run_spectator(
                     location=carla.Location(pose.x, pose.y, pose.z),
                     rotation=carla.Rotation(
                         pitch=pose.pitch, yaw=pose.yaw))
-                rgb_cam.set_transform(t)
-                depth_cam.set_transform(t)
+                for cam in cams:
+                    cam.set_transform(t)
                 moved = True
             del moved
             _advance(world)
@@ -362,15 +440,26 @@ def run_spectator(
                 if recording is not None:
                     pygame.image.save(display, os.path.join(
                         recording[0], "%06d.png" % recording[1]))
+                    if save_seg_path is not None \
+                            and last["seg"] is not None:
+                        _save_seg_frame(
+                            last["seg"], save_seg_path,
+                            recording[1], seg_as_img)
+                    if save_bbox_json is not None:
+                        boxes = world_actor_boxes()
+                        if boxes:
+                            bbox_data[recording[1]] = boxes
                     recording[1] += 1
                 if show_hud:
                     draw_hud()
                 pygame.display.flip()
     finally:
-        rgb_cam.stop()
-        depth_cam.stop()
-        rgb_cam.destroy()
-        depth_cam.destroy()
+        for cam in cams:
+            cam.stop()
+            cam.destroy()
+        if save_bbox_json is not None:
+            with open(save_bbox_json, "w") as f:
+                json.dump(bbox_data, f)
         pygame.quit()
 
 
@@ -589,6 +678,15 @@ def annotate_main(argv=None) -> None:
                         help="skip a task after N failed tries "
                              "(default: retry forever, as the "
                              "reference does)")
+    parser.add_argument("--start_idx", type=int, default=0,
+                        help="start from this moment index "
+                             "(reference: annotate_carla.py:74)")
+    parser.add_argument("--job", type=int, default=1,
+                        help="total annotator shards")
+    parser.add_argument("--curJob", type=int, default=1,
+                        help="1-based shard id — this process takes "
+                             "every job-th task (reference: "
+                             "annotate_carla.py:76-77,330-332)")
     args = parser.parse_args(argv)
     with open(args.moment_json) as f:
         moment_data = json.load(f)
@@ -597,7 +695,8 @@ def annotate_main(argv=None) -> None:
     saved = run_annotation_game(
         client, moment_data, args.out_file,
         video_fps=args.video_fps, obs_length=args.obs_length,
-        pred_length=args.pred_length, max_attempts=args.max_attempts)
+        pred_length=args.pred_length, max_attempts=args.max_attempts,
+        start_idx=args.start_idx, job=args.job, cur_job=args.curJob)
     print("saved %d annotations -> %s" % (len(saved), args.out_file))
 
 
@@ -612,10 +711,86 @@ def spectator_main(argv=None) -> None:
     parser.add_argument("--port", default=2000, type=int)
     parser.add_argument("--width", type=int, default=1280)
     parser.add_argument("--height", type=int, default=720)
+    parser.add_argument("--fov", type=float, default=90.0)
+    parser.add_argument("--save_screenshot_path",
+                        default="spectator_shots")
+    parser.add_argument("--change_map", default=None,
+                        help="load this map first (reference: "
+                             "spectator.py:54,446-448)")
+    parser.add_argument("--go_to_anchor", default=None, metavar="SCENE",
+                        help="start at SCENE's anchor camera from the "
+                             "packaged calibration — the reference's "
+                             "go_to_{zara,eth,hotel,0000,0400,0401,"
+                             "0500}_anchor family as one flag "
+                             "(reference: spectator.py:57-72,503-532)")
+    parser.add_argument("--go_to_scene", default=None,
+                        help="start at SCENE's recording camera "
+                             "--go_to_camera_num (reference: "
+                             "spectator.py:74-76,535-538)")
+    parser.add_argument("--go_to_camera_num", type=int, default=0)
+    parser.add_argument("--scene_registry", default=None,
+                        help="camera-preset registry JSON (default: "
+                             "the packaged calibration)")
+    parser.add_argument("--set_weather", default=None, metavar="SCENE",
+                        help="apply SCENE's registry weather "
+                             "(reference: spectator.py:49,463-480 — "
+                             "which hardcodes scene 0000's)")
+    parser.add_argument("--weather_night", action="store_true",
+                        help="ClearSunset preset (reference: "
+                             "spectator.py:472-473)")
+    parser.add_argument("--weather_rain", action="store_true",
+                        help="HardRainNoon preset (reference: "
+                             "spectator.py:474-476)")
+    parser.add_argument("--save_seg_path", default=None,
+                        help="also capture a semantic-seg camera while "
+                             "recording, frames saved here (reference: "
+                             "spectator.py:44,345-350)")
+    parser.add_argument("--save_bbox_json", default=None,
+                        help="write recorded frames' projected 2D "
+                             "walker/vehicle boxes to this json at "
+                             "exit (reference: spectator.py:45,708-711)")
+    parser.add_argument("--save_seg_as_img", action="store_true",
+                        help="save seg frames CityScapes-palette "
+                             "colored instead of raw class ids")
+    parser.add_argument("--max_ticks", type=int, default=None,
+                        help=argparse.SUPPRESS)  # headless test bound
     args = parser.parse_args(argv)
     client = carla.Client(args.host, args.port)
     client.set_timeout(10.0)
-    run_spectator(client, width=args.width, height=args.height)
+    if args.change_map is not None:
+        client.load_world(args.change_map)
+    world = client.get_world()
+
+    from multiverse_tpu.forking_paths.scenes import (
+        apply_weather,
+        default_registry_path,
+        load_scene_registry,
+    )
+
+    registry = load_scene_registry(
+        args.scene_registry or default_registry_path())
+    if args.weather_night:
+        world.set_weather(carla.WeatherParameters.ClearSunset)
+    elif args.weather_rain:
+        world.set_weather(carla.WeatherParameters.HardRainNoon)
+    elif args.set_weather is not None:
+        apply_weather(world, registry.scenes[args.set_weather].weather)
+
+    start_pose, fov = None, args.fov
+    if args.go_to_anchor is not None:
+        rig = registry.cameras["anchor"][args.go_to_anchor][0]
+        start_pose, fov = rig.transform, rig.fov
+    elif args.go_to_scene is not None:
+        rig = registry.cameras["recording"][
+            args.go_to_scene][args.go_to_camera_num]
+        start_pose, fov = rig.transform, rig.fov
+
+    run_spectator(client, width=args.width, height=args.height,
+                  fov=fov, screenshot_path=args.save_screenshot_path,
+                  start_pose=start_pose, max_ticks=args.max_ticks,
+                  save_seg_path=args.save_seg_path,
+                  save_bbox_json=args.save_bbox_json,
+                  seg_as_img=args.save_seg_as_img)
 
 
 if __name__ == "__main__":

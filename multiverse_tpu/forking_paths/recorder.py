@@ -146,11 +146,25 @@ def record_moment(
     moment_name: str,
     x_agent_pid: Optional[float] = None,
     max_yaw_change: float = 60.0,
+    start_offset: int = 0,
+    cam_num_offset: int = 0,
+    weather_override=None,
 ) -> Dict[str, str]:
     """Render one moment from every camera; writes
     `<out>/videos/<moment>_cam<k>.mp4`, matching `_seg.mp4`, and
     `<out>/bbox/<moment>_cam<k>.json`
     (reference: record_annotation.py:203-381).
+
+    start_offset: simulate but do not record the first N frames — the
+        recorded frame ids are rebased by -N so downstream contracts
+        are unchanged (reference: record_annotation.py:57,308-333;
+        the published dataset was recorded with its default 10-frame
+        warm-up lead-in).
+    cam_num_offset: added to the 1-based camera index in output names
+        (reference: record_annotation.py:66,358-380 — used to merge
+        recordings from different view sets into one dataset).
+    weather_override: a Weather to use instead of the scene's own
+        (reference --use_alter_weather / utils.py:71 realism_weather).
     """
     import carla
 
@@ -159,7 +173,7 @@ def record_moment(
     settings.synchronous_mode = True
     settings.fixed_delta_seconds = 1.0 / scene.fps
     world.apply_settings(settings)
-    apply_weather(world, scene.weather)
+    apply_weather(world, weather_override or scene.weather)
 
     actor_list: list = []
     spawn_static_cars(world, client, scene, actor_list)
@@ -198,13 +212,17 @@ def record_moment(
                               state, max_yaw_change=max_yaw_change)
             adapter.execute(cmds, state)
             tick_frame = world.tick()
+            if frame_id < start_offset:
+                # warm-up lead-in: simulated, never recorded
+                # (reference: record_annotation.py:308-310)
+                continue
             for k, rig in enumerate(rigs):
                 frames_rgb[k].append(
                     image_to_rgb(cam_queues[k].get(tick_frame)))
                 frames_seg[k].append(seg_to_cityscapes(
                     image_to_rgb(seg_queues[k].get(tick_frame))))
                 for box in actor_2d_boxes(adapter, rig):
-                    box = dict(box, frame_id=frame_id)
+                    box = dict(box, frame_id=frame_id - start_offset)
                     if x_agent_pid is not None \
                             and box["track_id"] == x_agent_pid:
                         box["is_x_agent"] = 1
@@ -217,7 +235,7 @@ def record_moment(
 
     outputs = {}
     for k in range(len(rigs)):
-        name = "%s_cam%d" % (moment_name, k + 1)
+        name = "%s_cam%d" % (moment_name, k + 1 + cam_num_offset)
         video = os.path.join(out_path, "videos", "%s.mp4" % name)
         seg_video = os.path.join(
             out_path, "videos_seg", "%s.mp4" % name)

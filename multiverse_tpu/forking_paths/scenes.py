@@ -58,6 +58,19 @@ class Weather:
     wind_intensity: float = 0.0
 
 
+# "some puddle on the ground makes the scene look perceptually more
+# real" — the published --use_alter_weather parameter set
+# (reference: forking_paths_dataset/code/utils.py:70-77)
+REALISM_WEATHER = Weather(
+    cloudyness=20.0,
+    precipitation=0.0,
+    precipitation_deposits=60.0,
+    sun_altitude_angle=65.0,
+    sun_azimuth_angle=20.0,
+    wind_intensity=80.0,
+)
+
+
 @dataclasses.dataclass(frozen=True)
 class StaticCar:
     bp: str

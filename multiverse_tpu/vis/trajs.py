@@ -179,6 +179,49 @@ def grid_prob_heatmap(
     return cv2.addWeighted(frame, 1.0, heat, alpha, 0)
 
 
+def grid_class_path_heatmap(
+    frame: np.ndarray,
+    cell_ids: np.ndarray,            # [T] int cell ids through time
+    grid_centers: np.ndarray,        # [H*W, 2] pixel centers
+    label: str,
+    sigma: float = 10.0,
+    colormap: Optional[int] = None,
+    alpha: float = 0.7,
+) -> np.ndarray:
+    """One beam's cell-id path rendered as a through-time heatmap:
+    stamp (t+1)/2 at each step's cell center (later steps brighter),
+    blur/rescale/colormap like :func:`grid_prob_heatmap`, and label the
+    path at its first step's center (reference:
+    SimAug/code/visualize.py:114-146 draw_grid_class_pred_through_t)."""
+    cv2 = _cv2()
+    from scipy.ndimage import gaussian_filter
+
+    imgh, imgw = frame.shape[:2]
+    centers = np.asarray(grid_centers).reshape(-1, 2)
+    layer = np.zeros((imgh, imgw), np.float64)
+    label_xy = (0, 0)
+    for t, cell in enumerate(np.asarray(cell_ids).reshape(-1)):
+        cx, cy = centers[int(cell)]
+        cx = min(int(cx), imgw - 1)
+        cy = min(int(cy), imgh - 1)
+        if t == 0:
+            label_xy = (cx, cy)
+        layer[cy, cx] = (t + 1) / 2.0
+    frame = cv2.putText(frame, label, label_xy,
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                        color=(255, 0, 0))
+    blurred = gaussian_filter(layer, sigma=sigma)
+    span = blurred.max() - blurred.min()
+    if span > 0:
+        blurred = (blurred - blurred.min()) / span
+    blurred = np.uint8(blurred * 255)
+    _, mask = cv2.threshold(blurred, 1, 255, cv2.THRESH_BINARY)
+    cmap = cv2.COLORMAP_JET if colormap is None else colormap
+    heat = cv2.applyColorMap(blurred, cmap)
+    heat = cv2.bitwise_and(heat, heat, mask=mask)
+    return cv2.addWeighted(frame, 1.0, heat, alpha, 0)
+
+
 def render_output_frame(
     frame: np.ndarray,
     obs_traj: np.ndarray,

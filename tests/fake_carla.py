@@ -60,6 +60,13 @@ class WeatherParameters:
         self.params = kw
 
 
+# the presets spectator.py uses (real carla exposes them as class
+# attributes)
+WeatherParameters.ClearSunset = WeatherParameters(preset="ClearSunset")
+WeatherParameters.HardRainNoon = WeatherParameters(
+    preset="HardRainNoon")
+
+
 class _Extent:
     def __init__(self):
         self.x, self.y, self.z = 0.5, 0.4, 0.9

@@ -33,6 +33,22 @@ def test_task_schedule():
     assert tasks == [(0, 1, 0), (0, 1, 1), (0, 2, 0), (1, 3, 0)]
 
 
+def test_task_sharding():
+    """start_idx / job / curJob split the task list across annotator
+    processes (reference: annotate_carla.py:74-77,330-332): every
+    job-th task after the start moment, shards disjoint + complete."""
+    all_tasks = list(iter_annotation_tasks(_moments()))
+    s1 = AnnotationSession(_moments(), obs_last_frame=1, max_frame=9,
+                           job=2, cur_job=1)
+    s2 = AnnotationSession(_moments(), obs_last_frame=1, max_frame=9,
+                           job=2, cur_job=2)
+    assert s1._tasks == all_tasks[0::2]
+    assert s2._tasks == all_tasks[1::2]
+    s3 = AnnotationSession(_moments(), obs_last_frame=1, max_frame=9,
+                           start_idx=1)
+    assert s3._tasks == [(1, 3, 0)]
+
+
 def test_session_reach_and_fail():
     s = AnnotationSession(_moments(), obs_last_frame=132, max_frame=456)
     assert s.current_traj_key() == "0400_0_1_0"

@@ -284,3 +284,106 @@ def test_record_moments_cli_published_calibration(carla_env, tmp_path):
     assert sorted(os.listdir(out / "videos_seg")) == videos
     assert sorted(os.listdir(out / "bbox")) == [
         "0400_0_1_0_cam%d.json" % i for i in range(1, 5)]
+
+
+def test_record_moment_start_offset(carla_env, tmp_path):
+    """start_offset frames are simulated but not recorded, and the
+    recorded bbox frame ids are rebased (reference:
+    record_annotation.py:57,308-333)."""
+    import json
+    import os
+
+    import cv2
+
+    from multiverse_tpu.forking_paths.camera import CameraRig, Transform
+    from multiverse_tpu.forking_paths.recorder import record_moment
+    from multiverse_tpu.forking_paths.scenes import SceneConfig, Weather
+
+    client = carla_env.Client()
+    scene = SceneConfig(name="0400", map="Town05", fps=25.0,
+                        weather=Weather())
+    rigs = [CameraRig(Transform(x=-15.0, z=3.0), 64, 48, 90.0)]
+    ped = _controls([[0, 1, 0, 0, 0.5], [5, 1, 1, 0, 0.5],
+                     [10, 1, 2, 0, 0.5]])
+    out = record_moment(
+        client, scene, rigs, ped, {}, total_frames=10,
+        out_path=str(tmp_path), moment_name="m", x_agent_pid=1.0,
+        start_offset=4, cam_num_offset=2)
+    # camera index offset lands in the names
+    assert list(out) == ["m_cam3"]
+    vcap = cv2.VideoCapture(out["m_cam3"])
+    assert int(vcap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6  # 10 - 4
+    vcap.release()
+    with open(os.path.join(tmp_path, "bbox", "m_cam3.json")) as f:
+        boxes = json.load(f)
+    fids = sorted({b["frame_id"] for b in boxes})
+    assert fids[0] == 0 and fids[-1] == 5  # rebased by -start_offset
+
+
+def test_record_moments_cli_anchor_mode(carla_env, tmp_path):
+    """--is_anchor_moment records the anchor view for a fixed
+    obs+pred window with an anchor-style moment id and no x-agent;
+    --add_3view_to_anchor widens the rig set from the recording group
+    (reference: record_annotation.py:59-65,176-196,234-239)."""
+    import json
+    import os
+
+    from multiverse_tpu.cli.vis_dataset import record_moments_main
+    from multiverse_tpu.forking_paths.scenes import REALISM_WEATHER
+
+    rig = {"fov": 90.0, "location_xyz": [-15.0, 0.0, 3.0],
+           "rotation_pyr": [0.0, 0.0, 0.0], "width": 64, "height": 48}
+    registry = {
+        "scenes": {"0400": {"map": "Town05_actev", "fps": 30.0,
+                            "static_cars": [], "weather": {}}},
+        "cameras": {"anchor": {"0400": [rig]},
+                    "recording": {"0400": [rig, rig, rig, rig]}},
+    }
+    reg_path = tmp_path / "registry.json"
+    reg_path.write_text(json.dumps(registry))
+
+    # long enough controls for the (3 + 2 - 1) * 4 = 16-frame window
+    ped = _controls([[0, 1, 0, 0, 0.5], [8, 1, 1, 0, 0.5],
+                     [16, 1, 2, 0, 0.5]], fps=30.0)
+    moment = {
+        "scenename": "0400",
+        "filename": "VIRAT_S_040000_00",
+        "original_start_frame_id": 1234,
+        "ped_controls": ped,
+        "vehicle_controls": {},
+    }
+    moment_json = tmp_path / "moments.json"
+    moment_json.write_text(json.dumps([moment], default=float))
+    out = tmp_path / "out"
+
+    record_moments_main([
+        str(moment_json), str(out),
+        "--scene_registry", str(reg_path),
+        "--is_anchor_moment", "--add_3view_to_anchor",
+        "--use_alter_weather",
+        "--video_fps", "10", "--annotation_fps", "2.5",
+        "--obs_length", "3", "--pred_length", "2"])
+
+    name = "VIRAT_S_040000_00_F_1234_obs3_pred2"
+    videos = sorted(os.listdir(out / "videos"))
+    # anchor view + recording views 2-4
+    assert videos == ["%s_cam%d.mp4" % (name, i) for i in range(1, 5)]
+    with open(out / "bbox" / ("%s_cam1.json" % name)) as f:
+        boxes = json.load(f)
+    # no x-agent in anchor recordings
+    assert not any(b.get("is_x_agent") for b in boxes)
+    # weather_override plumbing (the fake backend worlds are
+    # per-client, so drive record_moment directly)
+    from multiverse_tpu.forking_paths.camera import CameraRig, Transform
+    from multiverse_tpu.forking_paths.recorder import record_moment
+    from multiverse_tpu.forking_paths.scenes import SceneConfig, Weather
+
+    client = carla_env.Client()
+    record_moment(
+        client, SceneConfig(name="0400", map="Town05", fps=25.0,
+                            weather=Weather()),
+        [CameraRig(Transform(x=-15.0, z=3.0), 64, 48, 90.0)],
+        ped, {}, total_frames=2, out_path=str(tmp_path / "w"),
+        moment_name="w", weather_override=REALISM_WEATHER)
+    assert client.get_world().weather.params["cloudyness"] == \
+        REALISM_WEATHER.cloudyness

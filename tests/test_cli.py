@@ -102,6 +102,35 @@ def test_test_cli(trained, prepro, workdir, capsys):
     assert "grid0_pred_traj" in data and "seq_ids" in data
 
 
+def test_test_cli_summary_flags(trained, prepro, capsys):
+    """--show_center_only / --show_grid_acc_at_T widen the key-metric
+    summary lines exactly like the reference (code/test.py:158-170):
+    acc/ADE/FDE always, the center-only ablation and the per-T
+    accuracies only behind their flags (T entries beyond pred_len are
+    silently absent, as in the reference's `if k in key_metrics`)."""
+    from multiverse_tpu.cli import test as test_cli
+
+    base = [prepro, trained, "toy", "--runId", "1", "--load_best",
+            "--batch_size", "4", *MODEL_FLAGS]
+
+    test_cli.main(base)
+    names = capsys.readouterr().out.strip().splitlines()[-2].split()
+    assert "grid0_traj_ade" in names and "grid0_acc" in names
+    assert not any("centerOnly" in k or "@T=" in k for k in names)
+
+    test_cli.main(base + ["--show_center_only", "--show_grid_acc_at_T"])
+    out = capsys.readouterr().out.strip().splitlines()
+    names = out[-2].split()
+    # the EMITTED key name (the reference's own filter spells it
+    # centerOnly_traj and so never matches — fixed here, see cli/test.py)
+    assert "grid0_traj_centerOnly_ade" in names
+    # pred_len=5: T=0 and T=4 exist, the reference's T=9/11 don't
+    assert "grid0_acc_@T=4" in names
+    assert "grid0_acc_@T=9" not in names
+    # every metric still appears as its own "key, value" line above
+    assert any(line.startswith("grid0_acc_@T=1,") for line in out)
+
+
 def test_train_simaug_cli(workdir, prepro):
     from multiverse_tpu.cli import train_simaug
 

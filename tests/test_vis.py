@@ -81,3 +81,102 @@ def test_grid_prob_heatmap_and_grid():
 
     gridded = draw_grid(frame.copy(), (6, 8))
     assert (gridded[:, :, 0] > 0).any()
+
+
+def _write_vis_grid_inputs(tmp_path, use_beam=False):
+    """Synthetic eval-output pickle + fake frames for mvt-vis-grid."""
+    import os
+    import pickle
+
+    import cv2
+
+    from multiverse_tpu.geometry import grid_centers
+
+    rng = np.random.RandomState(3)
+    vh, vw, gh, gw = 72, 128, 6, 8
+    obs_len, frame_gap, T = 4, 2, 5
+    videos = ["VIRAT_S_000001_00_000000_000100",
+              "VIRAT_S_040000_00_000000_000100"]  # 0400: excluded scene
+    centers = grid_centers(vh, vw, gh, gw).reshape(-1, 2)
+    data = {
+        "seq_ids": [], "obs_list": [], "pred_gt_list": [],
+        "grid0_pred_traj": [], "grid0_class": [], "grid0_gt_class": [],
+        "grid_center_0": centers,
+    }
+    if use_beam:
+        data["beam_grid_ids"] = []
+        data["beam_logprobs"] = []
+    frame_dir = tmp_path / "frames"
+    for vid in videos:
+        os.makedirs(frame_dir / vid, exist_ok=True)
+        for frame_id in (0, 6):
+            for pid in (1, 2):
+                data["seq_ids"].append(
+                    "%s_%d_%d" % (vid, frame_id, pid))
+                data["obs_list"].append(
+                    rng.uniform(5, 60, (obs_len, 2)))
+                data["pred_gt_list"].append(rng.uniform(5, 60, (T, 2)))
+                data["grid0_pred_traj"].append(
+                    rng.uniform(5, 60, (T, 2)))
+                data["grid0_class"].append(
+                    rng.randn(T, gh * gw).astype(np.float32))
+                data["grid0_gt_class"].append(
+                    rng.randint(0, gh * gw, T))
+                if use_beam:
+                    data["beam_grid_ids"].append(
+                        rng.randint(0, gh * gw, (3, T)))
+                    data["beam_logprobs"].append(rng.randn(3))
+            last_obs = frame_id + (obs_len - 1) * frame_gap
+            cv2.imwrite(
+                str(frame_dir / vid / ("%s_F_%08d.jpg" % (vid, last_obs))),
+                np.zeros((vh, vw, 3), np.uint8))
+    outp = tmp_path / "out.p"
+    with open(outp, "wb") as f:
+        pickle.dump(data, f)
+    return str(outp), str(frame_dir), videos
+
+
+def test_vis_grid_cli(tmp_path, capsys):
+    """mvt-vis-grid renders one composite per (video, frame), skips the
+    reference's excluded scenes, and honors the filter flags
+    (reference: SimAug/code/visualize.py)."""
+    import os
+
+    from multiverse_tpu.cli import visualize_grid
+
+    outp, frames, videos = _write_vis_grid_inputs(tmp_path)
+    common = [outp, str(tmp_path / "vis"), frames,
+              "--obs_len", "4", "--frame_gap", "2",
+              "--video_h", "72", "--video_w", "128",
+              "--scene_h", "12", "--scene_w", "16"]
+    visualize_grid.main(common)
+    out0 = tmp_path / "vis" / videos[0]
+    # scene 0400 excluded entirely, both frames of scene 0000 rendered
+    assert not (tmp_path / "vis" / videos[1]).exists()
+    assert sorted(os.listdir(out0)) == [
+        "%s_F_%08d.jpg" % (videos[0], fid) for fid in (0, 6)]
+
+    visualize_grid.main(common + ["--only_after_frameid", "3"])
+    capsys.readouterr()
+    # frame 0 filtered, frame 6 kept (overwritten in place)
+
+
+def test_vis_grid_cli_beam(tmp_path, capsys):
+    """--use_beam_search renders the labelled 3-beam path overlay from
+    the beam ids the mvt-test pickle stores."""
+    import os
+
+    from multiverse_tpu.cli import visualize_grid
+
+    outp, frames, videos = _write_vis_grid_inputs(tmp_path,
+                                                  use_beam=True)
+    visualize_grid.main(
+        [outp, str(tmp_path / "vis"), frames,
+         "--use_beam_search", "--beam_size", "3",
+         "--obs_len", "4", "--frame_gap", "2",
+         "--video_h", "72", "--video_w", "128",
+         "--scene_h", "12", "--scene_w", "16",
+         "--only_trackid", "2"])
+    capsys.readouterr()
+    out0 = tmp_path / "vis" / videos[0]
+    assert len(os.listdir(out0)) == 2
