@@ -248,3 +248,129 @@ def gen_moments_main(argv=None) -> None:
         moment_data, annotations, video_fps=args.video_fps)
     save_moment_json(moments, args.final_json)
     print("wrote %d moments -> %s" % (len(moments), args.final_json))
+
+
+def sdd_frames_main(argv=None) -> None:
+    """Extract the trajectory-referenced frames of each SDD video as
+    jpgs (reference: SimAug/code/get_frames_sdd.py): read every
+    traj txt under traj_anno_path/*/ to collect the frame ids each
+    video needs, then decode only those, with the reference's
+    detection-style --resize (min side --size, max side --maxsize),
+    --use_2level / --name_level output layouts, per-video --statspath
+    stats pickles, and --job/--curJob sharding."""
+    import pickle
+    from glob import glob
+
+    from multiverse_tpu.data.sdd import extract_needed_frames
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("videolist", help="one video file per line")
+    parser.add_argument("traj_anno_path",
+                        help="<split>/<video>.txt trajectory files")
+    parser.add_argument("despath")
+    parser.add_argument("--size", default=800, type=int)
+    parser.add_argument("--maxsize", default=1333, type=int)
+    parser.add_argument("--resize", action="store_true")
+    parser.add_argument("--job", type=int, default=1)
+    parser.add_argument("--curJob", type=int, default=1)
+    parser.add_argument("--statspath", default=None,
+                        help="write <video>.p stats pickles here")
+    parser.add_argument("--use_2level", action="store_true",
+                        help="write despath/<video>/ frame dirs")
+    parser.add_argument("--name_level", type=int, default=None,
+                        help="prefix the videoname with its last N "
+                             "parent folder names, '__'-joined")
+    args = parser.parse_args(argv)
+
+    video2frames: dict = {}
+    for traj_file in glob(os.path.join(
+            args.traj_anno_path, "*", "*.txt")):
+        video_id = os.path.splitext(os.path.basename(traj_file))[0]
+        frames = video2frames.setdefault(video_id, set())
+        with open(traj_file) as f:
+            for line in f:
+                frames.add(int(float(line.split("\t")[0])))
+
+    os.makedirs(args.despath, exist_ok=True)
+    if args.statspath is not None:
+        os.makedirs(args.statspath, exist_ok=True)
+
+    total = 0
+    for count, line in enumerate(open(args.videolist), start=1):
+        if (count % args.job) != (args.curJob - 1) % args.job:
+            continue
+        video = line.strip()
+        videoname = os.path.splitext(os.path.basename(video))[0]
+        targetpath = args.despath
+        if args.use_2level:
+            targetpath = os.path.join(args.despath, videoname)
+        if args.name_level is not None:
+            parts = video.split("/")
+            videoname = "__".join(
+                parts[-1 - args.name_level:-1] + [videoname])
+        if videoname not in video2frames:
+            print("warning, %s not in traj files." % videoname)
+            continue
+        saved, stats = extract_needed_frames(
+            video, sorted(video2frames[videoname]), targetpath,
+            videoname, resize=args.resize, size=args.size,
+            maxsize=args.maxsize)
+        total += saved
+        if args.statspath is not None:
+            with open(os.path.join(
+                    args.statspath, "%s.p" % videoname), "wb") as f:
+                pickle.dump(stats, f)
+    print("wrote %d frames" % total)
+
+
+def resize_rotate_sdd_main(argv=None) -> None:
+    """Normalize raw SDD videos to 1920x1080 landscape, rotating
+    portrait ones 90° clockwise, and record the changes list the SDD
+    prep consumes (reference: SimAug/code/resize_rotate_sdd.py —
+    ffmpeg there, cv2 here since the image carries no ffmpeg)."""
+    from multiverse_tpu.data.sdd import resize_rotate_video
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("videolst", help="one raw video path per line; "
+                        "ids are <scene>_<video> from the last two "
+                        "parent dirs")
+    parser.add_argument("outpath")
+    parser.add_argument("changelst",
+                        help="written as video_id,WxH,rotated lines")
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.outpath, exist_ok=True)
+    changes = []
+    for line in open(args.videolst):
+        videofile = line.strip()
+        if not videofile:
+            continue
+        video_id = "%s_%s" % tuple(videofile.split("/")[-3:-1])
+        target = os.path.join(args.outpath, "%s.mp4" % video_id)
+        assert not os.path.exists(target), target
+        resolution, rotated = resize_rotate_video(videofile, target)
+        changes.append("%s,%s,%s" % (video_id, resolution, rotated))
+    with open(args.changelst, "w") as f:
+        f.write("\n".join(changes) + ("\n" if changes else ""))
+    print("converted %d videos" % len(changes))
+
+
+def sdd_splits_main(argv=None) -> None:
+    """n-fold cross-validation split lists for SDD
+    (reference: SimAug/code/get_sdd_splits.py)."""
+    from multiverse_tpu.data.sdd import write_sdd_fold_splits
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("videolst")
+    parser.add_argument("splitpath")
+    parser.add_argument("--n_fold", default=5, type=int)
+    parser.add_argument("--seed", default=2020, type=int,
+                        help="shuffle seed (the reference shuffles "
+                             "unseeded; seeded here for reproducible "
+                             "folds)")
+    args = parser.parse_args(argv)
+    videos = [os.path.basename(line.strip())
+              for line in open(args.videolst) if line.strip()]
+    write_sdd_fold_splits(videos, args.splitpath,
+                          n_fold=args.n_fold, seed=args.seed)
+    print("wrote %d folds for %d videos" % (args.n_fold, len(videos)))

@@ -240,28 +240,65 @@ def write_sdd_fold_splits(
                 f.write("\n".join(fold) + ("\n" if fold else ""))
 
 
+def get_new_hw(h: float, w: float, size: int,
+               max_size: int) -> Tuple[int, int]:
+    """Detection-style resize: min side to `size`, capped so the max
+    side stays under `max_size` (reference:
+    SimAug/code/get_frames_sdd.py:32-45; returns (new_w, new_h))."""
+    scale = size * 1.0 / min(h, w)
+    if h < w:
+        newh, neww = size, scale * w
+    else:
+        newh, neww = scale * h, size
+    if max(newh, neww) > max_size:
+        scale = max_size * 1.0 / max(newh, neww)
+        newh *= scale
+        neww *= scale
+    return int(neww + 0.5), int(newh + 0.5)
+
+
 def extract_needed_frames(
     video_file: str,
     frame_idxs: List[int],
     out_path: str,
     videoname: str,
-) -> int:
-    """Dump the sampled frames as jpgs
-    (reference: get_frames_sdd.py)."""
+    resize: bool = False,
+    size: int = 800,
+    maxsize: int = 1333,
+) -> Tuple[int, dict]:
+    """Dump the sampled frames as jpgs, optionally min/max-side
+    resized; returns (frames written, the per-video stats record the
+    reference's --statspath pickles)
+    (reference: get_frames_sdd.py:100-168)."""
     import cv2
 
     os.makedirs(out_path, exist_ok=True)
     wanted = set(frame_idxs)
     vcap = cv2.VideoCapture(video_file)
+    stats = {
+        "h": vcap.get(cv2.CAP_PROP_FRAME_HEIGHT),
+        "w": vcap.get(cv2.CAP_PROP_FRAME_WIDTH),
+        "fps": vcap.get(cv2.CAP_PROP_FPS),
+        "frame_count": vcap.get(cv2.CAP_PROP_FRAME_COUNT),
+        "actual_frame_count": None,
+    }
     idx = saved = 0
     while True:
         ok, frame = vcap.read()
         if not ok:
             break
         if idx in wanted:
+            if resize:
+                # reference: get_new_hw takes (shape[0], shape[1]) —
+                # reproduced as-is
+                neww, newh = get_new_hw(
+                    frame.shape[0], frame.shape[1], size, maxsize)
+                frame = cv2.resize(frame, (neww, newh),
+                                   interpolation=cv2.INTER_LINEAR)
             cv2.imwrite(os.path.join(
                 out_path, "%s_F_%08d.jpg" % (videoname, idx)), frame)
             saved += 1
         idx += 1
     vcap.release()
-    return saved
+    stats["actual_frame_count"] = saved
+    return saved, stats

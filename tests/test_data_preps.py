@@ -248,3 +248,106 @@ def test_prepare_argoverse_log(tmp_path):
     n2 = prepare_argoverse_log(files[:12 * 5], str(cal_file), "log2",
                                str(tmp_path / "out"), split="test")
     assert n2 == 0
+
+
+def test_sdd_frames_cli(tmp_path):
+    """mvt-sdd-frames: traj-referenced frame extraction with the
+    reference's resize rule, 2-level layout, name_level prefixing, and
+    stats pickles (reference: SimAug/code/get_frames_sdd.py)."""
+    import pickle
+
+    import cv2
+
+    from multiverse_tpu.cli.prepare_data import sdd_frames_main
+    from multiverse_tpu.data.sdd import get_new_hw
+
+    # min side 20 -> size 10; max side 40*0.5=20 > maxsize 15 -> cap
+    assert get_new_hw(20, 40, 10, 15) == (15, 8)  # (w, h)
+
+    vid_dir = tmp_path / "videos" / "bookstore"
+    os.makedirs(vid_dir)
+    vw = cv2.VideoWriter(str(vid_dir / "video0.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for i in range(8):
+        vw.write(np.full((48, 64, 3), i * 30, np.uint8))
+    vw.release()
+
+    traj_dir = tmp_path / "trajs" / "train"
+    os.makedirs(traj_dir)
+    (traj_dir / "bookstore__video0.txt").write_text(
+        "2\t1\t5.0\t5.0\n5\t1\t6.0\t6.0\n")
+    (tmp_path / "videos.lst").write_text(
+        str(vid_dir / "video0.mp4") + "\n")
+
+    sdd_frames_main([
+        str(tmp_path / "videos.lst"), str(tmp_path / "trajs"),
+        str(tmp_path / "frames"),
+        "--use_2level", "--name_level", "1",
+        "--resize", "--size", "24", "--maxsize", "1333",
+        "--statspath", str(tmp_path / "stats")])
+
+    # 2level dir uses the raw video name; jpgs the name_level prefix
+    out = tmp_path / "frames" / "video0"
+    assert sorted(os.listdir(out)) == [
+        "bookstore__video0_F_%08d.jpg" % i for i in (2, 5)]
+    frame = cv2.imread(str(out / "bookstore__video0_F_00000002.jpg"))
+    # reference passes (shape[0], shape[1]) = (h, w) into get_new_hw's
+    # (h, w) params; min(48,64)=48 -> scale 0.5 -> 24x32, returned as
+    # (neww, newh) = (32, 24)... reproduced verbatim, so assert via it
+    neww, newh = get_new_hw(48, 64, 24, 1333)
+    assert frame.shape[:2] == (newh, neww)
+    with open(tmp_path / "stats" / "bookstore__video0.p", "rb") as f:
+        stats = pickle.load(f)
+    assert stats["actual_frame_count"] == 2
+    assert stats["frame_count"] == 8.0
+
+
+def test_resize_rotate_sdd_cli(tmp_path):
+    """mvt-resize-rotate-sdd: portrait videos rotate 90° clockwise to
+    1920x1080, change list records id/resolution/rotation (reference:
+    SimAug/code/resize_rotate_sdd.py)."""
+    import cv2
+
+    from multiverse_tpu.cli.prepare_data import resize_rotate_sdd_main
+
+    raw = tmp_path / "raw" / "bookstore" / "video0"
+    os.makedirs(raw)
+    vw = cv2.VideoWriter(str(raw / "video.mov"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10, (48, 64))
+    for i in range(3):
+        vw.write(np.full((64, 48, 3), i * 40, np.uint8))  # portrait
+    vw.release()
+    (tmp_path / "videos.lst").write_text(str(raw / "video.mov") + "\n")
+
+    resize_rotate_sdd_main([
+        str(tmp_path / "videos.lst"), str(tmp_path / "out"),
+        str(tmp_path / "changes.lst")])
+
+    line = (tmp_path / "changes.lst").read_text().strip()
+    assert line == "bookstore_video0,48x64,True"
+    vcap = cv2.VideoCapture(str(tmp_path / "out" /
+                                "bookstore_video0.mp4"))
+    assert (int(vcap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            int(vcap.get(cv2.CAP_PROP_FRAME_HEIGHT))) == (1920, 1080)
+    vcap.release()
+
+
+def test_sdd_splits_cli(tmp_path):
+    """mvt-sdd-splits: per fold, test/val/train lists are disjoint and
+    complete (reference: SimAug/code/get_sdd_splits.py)."""
+    from multiverse_tpu.cli.prepare_data import sdd_splits_main
+
+    videos = ["v%d.mp4" % i for i in range(10)]
+    (tmp_path / "videos.lst").write_text(
+        "\n".join("/x/%s" % v for v in videos) + "\n")
+    sdd_splits_main([str(tmp_path / "videos.lst"),
+                     str(tmp_path / "splits"), "--n_fold", "5"])
+    for i in range(1, 6):
+        fold = tmp_path / "splits" / ("fold_%d" % i)
+        parts = {s: set((fold / ("%s.lst" % s)).read_text().split())
+                 for s in ("test", "val", "train")}
+        assert parts["test"] | parts["val"] | parts["train"] == \
+            set(videos)
+        assert not (parts["test"] & parts["val"])
+        assert not (parts["test"] & parts["train"])
+        assert not (parts["val"] & parts["train"])
