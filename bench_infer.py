@@ -69,10 +69,16 @@ def main():
             obs_scene=inputs.obs_scene[:n],
             pred_lengths=inputs.pred_lengths[:n])
 
-    def run(n, need_prob, prob_fetch_dtype="float32"):
+    # the serving-default int8a tier on the same driver
+    # (mvt-multifuture-inference --decode_quant int8a); TPU only —
+    # elsewhere the fused kernel is unavailable and the tier is a no-op
+    cfg_q = cfg.replace(decode_quant="int8a").validate()
+
+    def run(n, need_prob, prob_fetch_dtype="float32", quant=False):
         t0 = time.perf_counter()
         out, prob = run_multifuture_inference(
-            params, subset(n), cfg, batch_size=BATCH, T_max=T_PRED,
+            params, subset(n), cfg_q if quant else cfg,
+            batch_size=BATCH, T_max=T_PRED,
             need_prob=need_prob, prob_fetch_dtype=prob_fetch_dtype)
         assert len(out) == n
         return time.perf_counter() - t0
@@ -88,17 +94,22 @@ def main():
     # constant and yields the steady-state per-batch rate a long real
     # run converges to
     rates = {}
-    for tag, need_prob, fetch_dt in (
-            ("traj_only", False, "float32"),
-            ("with_prob", True, "float32"),
-            # opt-in f16 logit transfer (--prob_fetch_dtype float16):
-            # halves the ~73 MB/batch .prob.p payload; the wall-clock
-            # win is link-dependent (a compressing tunnel sees ~none,
-            # an uncompressed PCIe link the full 2x — STATUS.md)
-            ("with_prob_f16", True, "float16")):
-        run(BATCH * 2, need_prob, fetch_dt)  # warm this variant
-        t2 = run(BATCH * 2, need_prob, fetch_dt)
-        t10 = run(N, need_prob, fetch_dt)
+    variants = [
+        ("traj_only", False, "float32", False),
+        ("with_prob", True, "float32", False),
+        # opt-in f16 logit transfer (--prob_fetch_dtype float16):
+        # halves the ~73 MB/batch .prob.p payload; the wall-clock
+        # win is link-dependent (a compressing tunnel sees ~none,
+        # an uncompressed PCIe link the full 2x — STATUS.md)
+        ("with_prob_f16", True, "float16", False),
+    ]
+    if dev.platform == "tpu":
+        # .traj.p-only at the int8a serving tier (the fastest decode)
+        variants.append(("traj_only_int8a", False, "float32", True))
+    for tag, need_prob, fetch_dt, quant in variants:
+        run(BATCH * 2, need_prob, fetch_dt, quant)  # warm this variant
+        t2 = run(BATCH * 2, need_prob, fetch_dt, quant)
+        t10 = run(N, need_prob, fetch_dt, quant)
         # flap guard: on the shared chip the 2-batch calibration run
         # can land in a degradation window and exceed the 10-batch run,
         # making the difference quotient garbage — record null rather
@@ -115,7 +126,7 @@ def main():
     def _r(v):
         return None if v is None else round(v, 2)
 
-    print(json.dumps({
+    record = {
         "metric": "offline_inference_throughput",
         "value": _r(rates["traj_only"]),
         "unit": "traj/s",
@@ -123,7 +134,10 @@ def main():
         "with_prob_f16_value": _r(rates["with_prob_f16"]),
         "batches": N_BATCHES,
         "batch_size": BATCH,
-    }))
+    }
+    if "traj_only_int8a" in rates:
+        record["int8a_value"] = _r(rates["traj_only_int8a"])
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

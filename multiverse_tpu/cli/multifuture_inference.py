@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--video_w", type=int, default=1920)
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--compute_dtype", default="bfloat16")
+    parser.add_argument(
+        "--decode_quant", default="none",
+        choices=["none", "int8", "int8a", "int8_dyn"],
+        help="int8 MXU mode for the fused decode kernel (TPU only; "
+             "ignored elsewhere).  'int8a' is the serving default "
+             "tier — metric-neutral vs f32 at 8 seeds on exactly this "
+             "eval stack (Q8A_METRICS_r04.json) and the fastest decode "
+             "on chip; 'none' keeps the bf16/f32 parity path")
     return parser
 
 
@@ -91,6 +99,7 @@ def main(argv=None) -> None:
         diverse_gamma=args.diverse_gamma,
         fix_num_timestep=args.fix_num_timestep,
         compute_dtype=args.compute_dtype,
+        decode_quant=args.decode_quant,
         **MultiverseConfig.parse_strides(args.grid_strides, args.use_grids),
     ).validate()
 

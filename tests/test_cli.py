@@ -247,3 +247,45 @@ def test_multifuture_pipeline(trained, workdir, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     vals = [float(x) for x in lines[-1].split()]
     assert len(vals) == 5 and all(np.isfinite(vals))
+
+
+def test_multifuture_inference_decode_quant(trained, workdir, capsys,
+                                            monkeypatch):
+    """--decode_quant int8a drives the q8 fused decode through the full
+    offline CLI (the serving-default tier on the offline driver),
+    exercised on CPU via interpret-mode kernels; output contracts must
+    hold as on the parity path."""
+    from multiverse_tpu.cli import multifuture_inference
+    from multiverse_tpu.ops import pallas_decode
+
+    monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
+    rng = workdir["rng"]
+    cfg = workdir["cfg"]
+    traj_path, mf_path, scene_path, id2name = write_multifuture_dataset(
+        workdir["root"], cfg, rng, num_traj=3, max_pred_len=6)
+
+    out_file = os.path.join(workdir["root"], "mf_q8.traj.p")
+    model_path = os.path.join(trained, "toy", "01", "best")
+    multifuture_inference.main([
+        model_path, traj_path, mf_path, out_file,
+        "--obs_length", "4",
+        "--num_out", "4", "--diverse_beam", "--diverse_gamma", "0.01",
+        "--fix_num_timestep", "1",
+        "--grid_strides", "2,4", "--use_grids", "1,0",
+        "--emb_size", "8", "--enc_hidden_size", "16",
+        "--dec_hidden_size", "16", "--scene_conv_dim", "8",
+        "--use_gnn", "--use_scene_enc",
+        "--scene_feat_path", scene_path,
+        "--scene_id2name", id2name,
+        "--scene_h", "12", "--scene_w", "16", "--scene_class", "5",
+        "--batch_size", "2",
+        "--compute_dtype", "bfloat16", "--decode_quant", "int8a",
+    ])
+    capsys.readouterr()
+    with open(out_file, "rb") as f:
+        data = pickle.load(f)
+    assert len(data) == 3
+    for trajs in data.values():
+        arr = np.asarray(trajs)
+        assert arr.shape[0] == 4 and arr.shape[-1] == 2
+        assert np.isfinite(arr).all()
