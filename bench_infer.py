@@ -6,7 +6,12 @@ pipelined device decode -> on-device trajectory reconstruction ->
 pickle-format assembly) over >= 10 full batches, after a warmup pass
 that absorbs the one-time trace/compile cost — the round-2 ledger
 number (12.2 traj/s over 2 batches) was floored by that overhead and
-could not catch a regression in per-batch host time.
+could not catch a regression in per-batch host time.  Each variant's
+steady-state rate is the lower-median of several 2-vs-10-batch
+difference quotients, sanity-bounded by the same step's sync-per-batch
+rate (pipelining can only hide the host/fetch share): the shared chip
+flaps hard enough between runs that a single quotient can silently
+read 60% high.
 
 Two modes are reported: .traj.p-only (need_prob=False — nothing big
 crosses the host link) and with the .prob.p payload (the reference's
@@ -89,10 +94,30 @@ def main():
     print(f"bench_infer: warmup (compile) {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
-    # the driver re-traces its jitted closure once per RUN (seconds);
-    # differencing a 2-batch and a 10-batch run cancels that per-run
-    # constant and yields the steady-state per-batch rate a long real
-    # run converges to
+    # steady state by differencing a 2-batch and a 10-batch run: the
+    # per-run constant (input subsetting + a step-cache hit — the
+    # driver memoizes its jitted step across calls) cancels, leaving
+    # the per-batch rate a long real run converges to.  The shared
+    # chip FLAPS between runs (identical 20-batch runs measured 26 and
+    # 38 s in one probe), so each variant takes the MEDIAN of REPS
+    # difference quotients and is then sanity-bounded by physics: with
+    # depth-2 pipelining the steady rate can only exceed the same
+    # step's sync-per-batch rate by the hidden host/fetch share, so
+    # anything above 1.25x the sync rate is a flap artifact (a slow
+    # calibration run inflating the quotient), reported null.
+    def sync_rate(quant):
+        from multiverse_tpu.inference import beam_forward, make_batch
+        c = cfg_q if quant else cfg
+        b = jax.device_put(make_batch(inputs, np.arange(BATCH), c))
+        fn = jax.jit(lambda p, bb: beam_forward(p, bb, c, T_pred=T_PRED))
+        fetch = lambda o: float(np.asarray(o[0].logprobs[0, 0]))
+        fetch(fn(params, b)); fetch(fn(params, b))
+        t0 = time.perf_counter()
+        for _ in range(6):
+            fetch(fn(params, b))
+        return BATCH * 6 / (time.perf_counter() - t0)
+
+    REPS = 3
     rates = {}
     variants = [
         ("traj_only", False, "float32", False),
@@ -103,25 +128,37 @@ def main():
         # an uncompressed PCIe link the full 2x — STATUS.md)
         ("with_prob_f16", True, "float16", False),
     ]
+    sync_ceiling = {"traj_only": sync_rate(False) * 1.25}
     if dev.platform == "tpu":
         # .traj.p-only at the int8a serving tier (the fastest decode)
         variants.append(("traj_only_int8a", False, "float32", True))
+        sync_ceiling["traj_only_int8a"] = sync_rate(True) * 1.25
+    print(f"bench_infer: sync ceilings {sync_ceiling}", file=sys.stderr)
     for tag, need_prob, fetch_dt, quant in variants:
         run(BATCH * 2, need_prob, fetch_dt, quant)  # warm this variant
-        t2 = run(BATCH * 2, need_prob, fetch_dt, quant)
-        t10 = run(N, need_prob, fetch_dt, quant)
-        # flap guard: on the shared chip the 2-batch calibration run
-        # can land in a degradation window and exceed the 10-batch run,
-        # making the difference quotient garbage — record null rather
-        # than a negative/absurd throughput
-        if t10 > t2 * 1.05:
-            rates[tag] = (N - BATCH * 2) / (t10 - t2)
-        else:
-            rates[tag] = None
-            print(f"bench_infer: {tag} INVALID (chip flap: 2-batch "
-                  f"{t2:.1f}s >= 10-batch {t10:.1f}s)", file=sys.stderr)
-        print(f"bench_infer: {tag} 2-batch {t2:.1f}s, "
-              f"{N_BATCHES}-batch {t10:.1f}s", file=sys.stderr)
+        estimates = []
+        for rep in range(REPS):
+            t2 = run(BATCH * 2, need_prob, fetch_dt, quant)
+            t10 = run(N, need_prob, fetch_dt, quant)
+            est = ((N - BATCH * 2) / (t10 - t2)
+                   if t10 > t2 * 1.05 else None)
+            ceiling = sync_ceiling.get(tag)
+            if est is not None and ceiling is not None and est > ceiling:
+                print(f"bench_infer: {tag} rep{rep} {est:.1f} exceeds "
+                      f"the sync-rate ceiling {ceiling:.1f} "
+                      f"(flap artifact) — dropped", file=sys.stderr)
+                est = None
+            estimates.append(est)
+            print(f"bench_infer: {tag} rep{rep} 2-batch {t2:.1f}s, "
+                  f"{N_BATCHES}-batch {t10:.1f}s -> "
+                  f"{'%.1f' % est if est else 'INVALID'}",
+                  file=sys.stderr)
+        valid = sorted(e for e in estimates if e is not None)
+        # lower-median: with an even count prefer the conservative side
+        rates[tag] = valid[(len(valid) - 1) // 2] if valid else None
+        if not valid:
+            print(f"bench_infer: {tag} INVALID (all {REPS} reps "
+                  f"flap-contaminated)", file=sys.stderr)
 
     def _r(v):
         return None if v is None else round(v, 2)

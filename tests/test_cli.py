@@ -261,10 +261,14 @@ def test_multifuture_inference_decode_quant(trained, workdir, capsys,
     monkeypatch.setattr(pallas_decode, "FORCE_INTERPRET_FUSED", True)
     rng = workdir["rng"]
     cfg = workdir["cfg"]
+    # own subdir: the module-scoped workdir root already holds the
+    # pipeline test's 4-trajectory dataset (globbed by the loader)
+    root = os.path.join(workdir["root"], "q8")
+    os.makedirs(root, exist_ok=True)
     traj_path, mf_path, scene_path, id2name = write_multifuture_dataset(
-        workdir["root"], cfg, rng, num_traj=3, max_pred_len=6)
+        root, cfg, rng, num_traj=3, max_pred_len=6)
 
-    out_file = os.path.join(workdir["root"], "mf_q8.traj.p")
+    out_file = os.path.join(root, "mf_q8.traj.p")
     model_path = os.path.join(trained, "toy", "01", "best")
     multifuture_inference.main([
         model_path, traj_path, mf_path, out_file,

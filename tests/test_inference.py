@@ -175,3 +175,36 @@ def test_prob_fetch_dtype_f16(setup):
         np.testing.assert_array_equal(p32, p16)
         scale = max(1.0, float(np.abs(l32).max()))
         assert np.abs(l32 - l16).max() <= 1e-3 * scale
+
+
+def test_step_cache_reused_across_calls(setup):
+    """Repeated driver calls at one config must reuse ONE jitted step
+    (a fresh jax.jit closure per call re-traces the decode graph every
+    run — ~10 s of per-call overhead on a tunneled backend even with
+    the compile itself cached), while a different config must get its
+    own entry; results are unchanged either way."""
+    from multiverse_tpu import inference as inf
+
+    cfg, params, inputs = setup
+    inf._STEP_CACHE.clear()
+    out1, _ = run_multifuture_inference(params, inputs, cfg, batch_size=4)
+    assert len(inf._STEP_CACHE) == 1
+    (key1, fn1), = inf._STEP_CACHE.items()
+    out2, _ = run_multifuture_inference(params, inputs, cfg, batch_size=4)
+    assert len(inf._STEP_CACHE) == 1
+    assert inf._STEP_CACHE[key1] is fn1          # reused, not rebuilt
+    for tid in inputs.traj_ids:
+        np.testing.assert_array_equal(
+            np.asarray(out1[tid]), np.asarray(out2[tid]))
+
+    # output gating is part of the key: need_prob=False is a DIFFERENT
+    # graph (the logit accumulation is dropped), not a cache hit
+    run_multifuture_inference(
+        params, inputs, cfg, batch_size=4, need_prob=False)
+    assert len(inf._STEP_CACHE) == 2
+
+    # a different config (greedy) adds a third; the FIFO bound holds
+    run_multifuture_inference(
+        params, inputs, cfg, batch_size=4, greedy=True, need_prob=False)
+    assert len(inf._STEP_CACHE) == 3
+    assert len(inf._STEP_CACHE) <= inf._STEP_CACHE_MAX
