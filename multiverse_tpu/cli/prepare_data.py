@@ -374,3 +374,91 @@ def sdd_splits_main(argv=None) -> None:
     write_sdd_fold_splits(videos, args.splitpath,
                           n_fold=args.n_fold, seed=args.seed)
     print("wrote %d folds for %d videos" % (args.n_fold, len(videos)))
+
+
+def get_vehicle_traj_main(argv=None) -> None:
+    """VIRAT YAML vehicle annotations → per-video pixel/world
+    trajectory TSVs at the pedestrian frames
+    (reference: forking_paths_dataset/code/get_vehicle_traj.py)."""
+    from glob import glob
+
+    import numpy as np
+
+    from multiverse_tpu.forking_paths.controls import load_traj_file
+    from multiverse_tpu.forking_paths.moments import (
+        ACTEV_SCENE2IMGSIZE,
+        get_scene,
+        load_homographies,
+        load_virat_boxes,
+        load_virat_types,
+        vehicle_trajectories,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("traj_path", help="path to pedestrian dataset")
+    parser.add_argument("anno_path", help="yaml path")
+    parser.add_argument("h_path", help="path to homography matrix")
+    parser.add_argument("out_path")
+    parser.add_argument("--job", type=int, default=1, help="total job")
+    parser.add_argument("--curJob", type=int, default=1,
+                        help="this script run job Num")
+    args = parser.parse_args(argv)
+
+    out_pixel = os.path.join(args.out_path, "pixel")
+    out_world = os.path.join(args.out_path, "world")
+    os.makedirs(out_pixel, exist_ok=True)
+    os.makedirs(out_world, exist_ok=True)
+    h_dict = load_homographies(args.h_path)
+
+    def save(rows, path, videoname):
+        with open(os.path.join(path, "%s.txt" % videoname), "w") as f:
+            for one in rows:
+                f.write("%s\n" % "\t".join("%s" % x for x in one))
+
+    count = 0
+    for traj_file in sorted(glob(os.path.join(args.traj_path,
+                                              "*.txt"))):
+        count += 1
+        if (count % args.job) != (args.curJob - 1):
+            continue
+        videoname = os.path.splitext(os.path.basename(traj_file))[0]
+        scene = get_scene(videoname)
+        # pedestrian frames define which vehicle boxes matter
+        frame_ids = np.unique(
+            load_traj_file(traj_file)[:, 0]).astype(int).tolist()
+        vehicle_ids = load_virat_types(
+            os.path.join(args.anno_path, videoname + ".types.yml"),
+            only="Vehicle")
+        boxes = load_virat_boxes(
+            os.path.join(args.anno_path, videoname + ".geom.yml"),
+            ACTEV_SCENE2IMGSIZE[scene])
+        pixel, world = vehicle_trajectories(
+            boxes, vehicle_ids, h_dict[scene], scene,
+            frame_ids=frame_ids)
+        save(pixel, out_pixel, videoname)
+        save(world, out_world, videoname)
+
+
+def split_path_main(argv=None) -> None:
+    """Split lists for the rendered datasets: multi-future videos are
+    all test; anchor videos follow their VIRAT source's original split
+    (reference: forking_paths_dataset/code/get_split_path.py)."""
+    from glob import glob
+
+    from multiverse_tpu.forking_paths.prepared_data import (
+        reference_split_lists,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("video_path")
+    parser.add_argument("split_path")
+    parser.add_argument("--is_anchor", action="store_true")
+    parser.add_argument("--ori_split_path", default=None)
+    args = parser.parse_args(argv)
+
+    videonames = sorted(
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob(os.path.join(args.video_path, "*.mp4")))
+    reference_split_lists(
+        videonames, args.split_path, is_anchor=args.is_anchor,
+        ori_split_path=args.ori_split_path)

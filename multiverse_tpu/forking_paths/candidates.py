@@ -19,6 +19,10 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 from multiverse_tpu.forking_paths.sim import SimState, plan_frame
 
+# per-scene vehicle ground heights for replayed vehicle trajectories
+# (dataset constants; reference: utils.py:19-24 `vehicle_z`)
+VEHICLE_Z = {"0000": 0.2, "0401": 0.0, "0400": 0.0, "0500": 0.0}
+
 
 def moment_windows(
     ped_controls: Dict[str, list],
@@ -126,11 +130,15 @@ def find_candidate_moments(
     moment_length: float = 15.2,
     test_skip: int = 1,
     vehicle_traj_path: Optional[str] = None,
-    vehicle_z: float = 0.0,
+    vehicle_z: Optional[float] = None,
 ) -> Tuple[Dict[str, list], list]:
     """The full candidate sweep (carla-gated driver;
     reference: auto_moment_candidates.py main).  Returns
-    (scene → success moment records, failure log)."""
+    (scene → success moment records, failure log).
+
+    `vehicle_z=None` uses the reference's per-scene ground heights
+    (`VEHICLE_Z`, reference: utils.py:19-24 `vehicle_z`); a float
+    forces that value for every scene."""
     import dataclasses
 
     from multiverse_tpu.forking_paths.controls import (
@@ -169,9 +177,11 @@ def find_candidate_moments(
         if vehicle_traj_path is not None:
             vf = os.path.join(vehicle_traj_path, "%s.txt" % filename)
             if os.path.exists(vf):
+                z_to = (VEHICLE_Z.get(scene, 0.0)
+                        if vehicle_z is None else vehicle_z)
                 vehicle_controls, _ = traj_to_controls(
                     load_traj_file(vf), -1, -1, static_scene.fps,
-                    z_to=vehicle_z, no_offset=True)
+                    z_to=z_to, no_offset=True)
 
         frames_per_moment = moment_length * static_scene.fps
         for start, total in moment_windows(

@@ -241,46 +241,82 @@ def load_virat_types(track_file: str,
     return out
 
 
+def _box_valid(bbox: list, imgsize: Tuple[float, float]) -> bool:
+    """Positive area, inside the frame from above (the reference never
+    rejects negative coordinates — reference:
+    get_vehicle_traj.py:111-119 `valid_box`)."""
+    w, h = imgsize
+    x1, y1, x2, y2 = bbox
+    if (x2 - x1) * (y2 - y1) <= 0:
+        return False
+    return not (x1 > w or x2 > w or y1 > h or y2 > h)
+
+
+def _box_repair(bbox: list, imgsize: Tuple[float, float]) -> list:
+    """Reorder swapped corners and clip to the frame from above
+    (reference: get_vehicle_traj.py:102-109 `modify_box` — "actev boxes
+    may contain some errors")."""
+    w, h = imgsize
+    x1, y1, x2, y2 = bbox
+    return [min(w, min(x1, x2)), min(h, min(y1, y2)),
+            min(w, max(x1, x2)), min(h, max(y1, y2))]
+
+
 def load_virat_boxes(box_file: str,
                      imgsize: Tuple[float, float]) -> list:
-    """(track_id, frame_idx, [x1, y1, x2, y2]) rows, clipped to frame
-    (reference: get_vehicle_traj.py:70-90)."""
-    w, h = imgsize
+    """(track_id, frame_idx, [x1, y1, x2, y2]) truth rows; invalid
+    boxes repaired like the reference
+    (reference: get_vehicle_traj.py:70-93)."""
     out = []
     for item in load_virat_yaml(box_file):
         g = item["geom"]
+        assert g["src"] == "truth", (g["src"], g)
         bbox = [float(a) for a in g["g0"].split()]
-        bbox = [min(max(bbox[0], 0.0), w), min(max(bbox[1], 0.0), h),
-                min(max(bbox[2], 0.0), w), min(max(bbox[3], 0.0), h)]
+        if not _box_valid(bbox, imgsize):
+            bbox = _box_repair(bbox, imgsize)
+            assert _box_valid(bbox, imgsize), (bbox, imgsize)
         out.append((int(g["id1"]), int(g["ts0"]), bbox))
     return out
 
 
-def vehicle_world_trajectories(
+def vehicle_trajectories(
     box_rows: list,
     vehicle_ids: Iterable[int],
     homography: np.ndarray,
     scene: str,
     frame_ids: Optional[Iterable[int]] = None,
-) -> Dict[int, list]:
-    """Vehicle boxes → ground-plane trajectories: bottom-center point
-    through the scene homography (reference: get_vehicle_traj.py main).
-    Returns {track_id: [[frame, x_w, y_w], ...]}."""
+) -> Tuple[list, list]:
+    """Vehicle boxes → (pixel_rows, world_rows), each
+    `[frame_idx, track_id, x, y]` sorted by frame.
+
+    Reference semantics (get_vehicle_traj.py:195-222): the point is the
+    box CENTER; the world point is that center through the scene
+    homography in the box file's own resolution (no rescale — the 0002
+    homography was calibrated at the YAML's native 1280×720) with the
+    ActEV x-mirror; the PIXEL point for scene 0002 is upscaled ×1.5 on
+    both axes to the 1920×1080 space the released videos use.
+    """
     wanted = set(vehicle_ids)
     frames = None if frame_ids is None else set(frame_ids)
-    out: Dict[int, list] = {}
+    pixel_rows: list = []
+    world_rows: list = []
     for tid, frame_idx, (x1, y1, x2, y2) in box_rows:
         if tid not in wanted:
             continue
         if frames is not None and frame_idx not in frames:
             continue
-        feet = np.asarray([[(x1 + x2) / 2.0, y2]])
-        wxy = pixel_to_world_ground(feet, homography, scene)[0]
-        out.setdefault(tid, []).append(
-            [frame_idx, float(wxy[0]), float(wxy[1])])
-    for tid in out:
-        out[tid].sort(key=lambda r: r[0])
-    return out
+        cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        wvec = homography @ np.asarray([cx, cy, 1.0])
+        wx, wy = wvec[0] / wvec[2], wvec[1] / wvec[2]
+        if scene == "0002":
+            # the reference scales BOTH axes by 1920/1280 (== 1.5 ==
+            # 1080/720, so the quirk is benign)
+            cx, cy = cx * (1920 / 1280.0), cy * (1920 / 1280.0)
+        pixel_rows.append([frame_idx, tid, float(cx), float(cy)])
+        world_rows.append([frame_idx, tid, float(-wx), float(wy)])
+    pixel_rows.sort(key=lambda r: r[0])
+    world_rows.sort(key=lambda r: r[0])
+    return pixel_rows, world_rows
 
 
 # ---------------------------------------------- world → CARLA placing

@@ -395,6 +395,53 @@ def prepare_anchor_split(
 # ------------------------------------------------------------- splits
 
 
+def reference_split_lists(
+    videonames: List[str],
+    out_path: str,
+    is_anchor: bool = False,
+    ori_split_path: str = None,
+) -> Dict[str, List[str]]:
+    """The reference's split semantics (get_split_path.py:30-63):
+    the multi-future dataset is a TEST-only benchmark (every video →
+    test.lst); anchor videos follow the original VIRAT splits — each
+    `<viratname>_F_...` video goes to the split its VIRAT source video
+    is in, read from `ori_split_path/{train,val,test}.lst`.  Videos
+    whose source is in no list are dropped with a warning, like the
+    reference.  Writes the three .lst files and returns the splits."""
+    os.makedirs(out_path, exist_ok=True)
+    splits: Dict[str, List[str]] = {"train": [], "val": [], "test": []}
+    if not is_anchor:
+        splits["test"] = list(videonames)
+    else:
+        if ori_split_path is None:
+            raise ValueError("anchor splits need ori_split_path "
+                             "(the original VIRAT split lists)")
+        source_split = {}
+        for split in ("train", "val", "test"):
+            with open(os.path.join(ori_split_path,
+                                   "%s.lst" % split)) as f:
+                for line in f:
+                    name = os.path.splitext(
+                        os.path.basename(line.strip()))[0]
+                    if name:
+                        source_split[name] = split
+        for videoname in videonames:
+            virat_videoname = videoname.split("_F_")[0]
+            split = source_split.get(virat_videoname)
+            if split is None:
+                print("%s not in all lst" % videoname)
+                continue
+            splits[split].append(videoname)
+    for split, names in splits.items():
+        with open(os.path.join(out_path, "%s.lst" % split), "w") as f:
+            for one in names:
+                f.write("%s\n" % one)
+    print("original %s videos, split into train %s, val %s, test %s"
+          % (len(videonames), len(splits["train"]), len(splits["val"]),
+             len(splits["test"])))
+    return splits
+
+
 def write_split_lists(
     videonames: List[str],
     out_path: str,
@@ -402,9 +449,11 @@ def write_split_lists(
     test_frac: float = 0.2,
     seed: int = 2020,
 ) -> Dict[str, List[str]]:
-    """Deterministic train/val/test .lst files grouped by observation
-    so all futures of one obs land in one split
-    (reference: get_split_path.py)."""
+    """Framework extra (NOT the reference semantics — see
+    reference_split_lists for those): a deterministic fraction-based
+    train/val/test split grouped by observation so all futures of one
+    obs land in one split.  Useful for training on self-recorded
+    moment datasets where no original VIRAT split exists."""
     os.makedirs(out_path, exist_ok=True)
     groups = group_by_obs(videonames)
     keys = sorted(groups)

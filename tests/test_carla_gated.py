@@ -387,3 +387,81 @@ def test_record_moments_cli_anchor_mode(carla_env, tmp_path):
         moment_name="w", weather_override=REALISM_WEATHER)
     assert client.get_world().weather.params["cloudyness"] == \
         REALISM_WEATHER.cloudyness
+
+
+def _actev_registry_json(tmp_path):
+    import json
+
+    registry = {
+        "scenes": {"0400": {"map": "Town05", "fps": 25.0,
+                            "static_cars": [], "weather": {}}},
+        "cameras": {},
+    }
+    reg_path = tmp_path / "registry.json"
+    reg_path.write_text(json.dumps(registry))
+    return str(reg_path)
+
+
+def test_build_moment_cli(carla_env, tmp_path, capsys):
+    """mvt-build-moment replays one trajectory window on the fake
+    backend (reference: build_moment.py)."""
+    from multiverse_tpu.cli.moment_tools import build_moment_main
+
+    rows = ["%d\t1\t%.2f\t%.2f\t0.5" % (f, 0.2 * f, 0.0)
+            for f in range(0, 100, 5)]
+    traj_file = tmp_path / "VIRAT_S_040000_00.txt"
+    traj_file.write_text("\n".join(rows) + "\n")
+    veh_rows = ["%d\t9\t%.2f\t%.2f\t0.0" % (f, 30.0 - 0.1 * f, 5.0)
+                for f in range(0, 100, 5)]
+    veh_file = tmp_path / "veh.txt"
+    veh_file.write_text("\n".join(veh_rows) + "\n")
+
+    build_moment_main([
+        str(traj_file), "0", "95",
+        "--vehicle_traj", str(veh_file), "--vehicle_z", "0.2",
+        "--show_traj",
+        "--scene_registry", _actev_registry_json(tmp_path)])
+    out = capsys.readouterr().out
+    assert "replay OK" in out
+    # sync mode restored off afterwards
+    client = carla_env.Client()
+    assert client.get_world().settings.synchronous_mode is False
+
+
+def test_auto_moment_candidates_cli(carla_env, tmp_path):
+    """mvt-auto-moment-candidates end-to-end on the fake backend
+    (reference: auto_moment_candidates.py)."""
+    import json
+
+    from multiverse_tpu.cli.moment_tools import auto_candidates_main
+
+    traj_dir = tmp_path / "traj"
+    traj_dir.mkdir()
+    rows = ["%d\t1\t%.2f\t%.2f\t0.5" % (f, 0.2 * f, 0.0)
+            for f in range(0, 100, 5)]
+    (traj_dir / "VIRAT_S_040000_00.txt").write_text(
+        "\n".join(rows) + "\n")
+
+    moments = tmp_path / "moments"
+    log_file = tmp_path / "fails.log"
+    auto_candidates_main([
+        str(traj_dir), str(moments),
+        "--is_actev", "--only_scene", "0400",
+        "--moment_length", "2.0", "--test_skip", "5",
+        "--log_file", str(log_file),
+        "--scene_registry", _actev_registry_json(tmp_path)])
+
+    with open(moments / "0400.json") as f:
+        recs = json.load(f)
+    assert recs and recs[0]["scenename"] == "0400"
+    assert recs[0]["ped_controls"]
+    assert log_file.exists()
+
+    # only_scene filtering to a scene with no files -> clean error
+    import pytest
+
+    with pytest.raises(SystemExit):
+        auto_candidates_main([
+            str(traj_dir), str(moments), "--is_actev",
+            "--only_scene", "0000",
+            "--scene_registry", _actev_registry_json(tmp_path)])

@@ -351,3 +351,105 @@ def test_sdd_splits_cli(tmp_path):
         assert not (parts["test"] & parts["val"])
         assert not (parts["test"] & parts["train"])
         assert not (parts["val"] & parts["train"])
+
+
+# ------------------------- mvt-get-vehicle-traj / mvt-split-path CLIs
+
+
+def test_get_vehicle_traj_cli(tmp_path):
+    """reference: forking_paths_dataset/code/get_vehicle_traj.py —
+    YAML vehicle boxes at pedestrian frames → pixel + world TSVs."""
+    from multiverse_tpu.cli.prepare_data import get_vehicle_traj_main
+
+    videoname = "VIRAT_S_040000_00_000000_000100"
+    traj_dir = tmp_path / "traj"
+    traj_dir.mkdir()
+    (traj_dir / ("%s.txt" % videoname)).write_text(
+        "0\t1\t5.0\t5.0\n12\t1\t6.0\t5.0\n")
+
+    anno = tmp_path / "anno"
+    anno.mkdir()
+    (anno / ("%s.types.yml" % videoname)).write_text(
+        "- {meta: x}\n"
+        "- {types: {id1: 3, cset3: {Vehicle: 1.0}}}\n"
+        "- {types: {id1: 1, cset3: {Person: 1.0}}}\n")
+    (anno / ("%s.geom.yml" % videoname)).write_text(
+        "- {meta: x}\n"
+        "- {geom: {id1: 3, ts0: 0, g0: 100 100 200 180, src: truth}}\n"
+        "- {geom: {id1: 3, ts0: 12, g0: 110 100 210 180, src: truth}}\n"
+        # not a pedestrian frame -> dropped
+        "- {geom: {id1: 3, ts0: 5, g0: 100 100 200 180, src: truth}}\n"
+        # a Person track -> dropped
+        "- {geom: {id1: 1, ts0: 0, g0: 0 0 10 10, src: truth}}\n"
+        # swapped corners -> repaired like the reference
+        "- {geom: {id1: 3, ts0: 12, g0: 400 300 300 200, src: truth}}\n")
+
+    h_dir = tmp_path / "h"
+    h_dir.mkdir()
+    (h_dir / "0400.txt").write_text("1,0,0\n0,1,0\n0,0,1\n")
+
+    out = tmp_path / "out"
+    get_vehicle_traj_main([str(traj_dir), str(anno), str(h_dir),
+                           str(out)])
+
+    pixel = np.loadtxt(out / "pixel" / ("%s.txt" % videoname))
+    world = np.loadtxt(out / "world" / ("%s.txt" % videoname))
+    # box CENTERS at ped frames only, x mirrored in world
+    np.testing.assert_allclose(
+        pixel, [[0, 3, 150.0, 140.0], [12, 3, 160.0, 140.0],
+                [12, 3, 350.0, 250.0]])
+    np.testing.assert_allclose(
+        world, [[0, 3, -150.0, 140.0], [12, 3, -160.0, 140.0],
+                [12, 3, -350.0, 250.0]])
+
+
+def test_split_path_cli_multifuture_all_test(tmp_path):
+    """non-anchor mode: the multi-future set is a TEST-only benchmark
+    (reference: get_split_path.py:33-34)."""
+    from multiverse_tpu.cli.prepare_data import split_path_main
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    for name in ("0400_0_1_0_a_cam1", "0401_2_3_1_b_cam2"):
+        (videos / ("%s.mp4" % name)).write_bytes(b"")
+    split = tmp_path / "split"
+    split_path_main([str(videos), str(split)])
+
+    test_lst = (split / "test.lst").read_text().split()
+    assert sorted(test_lst) == ["0400_0_1_0_a_cam1",
+                                "0401_2_3_1_b_cam2"]
+    assert (split / "train.lst").read_text() == ""
+    assert (split / "val.lst").read_text() == ""
+
+
+def test_split_path_cli_anchor_follows_virat(tmp_path, capsys):
+    """anchor mode: each video follows its VIRAT source's original
+    split; unmatched sources are dropped with a warning
+    (reference: get_split_path.py:36-57)."""
+    from multiverse_tpu.cli.prepare_data import split_path_main
+
+    ori = tmp_path / "ori"
+    ori.mkdir()
+    (ori / "train.lst").write_text("path/VIRAT_S_040000_00.mp4\n")
+    (ori / "val.lst").write_text("VIRAT_S_040100_01\n")
+    (ori / "test.lst").write_text("VIRAT_S_000000_02\n")
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    names = ["VIRAT_S_040000_00_F_0_1", "VIRAT_S_040100_01_F_2_0",
+             "VIRAT_S_000000_02_F_1_1", "VIRAT_S_999999_99_F_0_0"]
+    for name in names:
+        (videos / ("%s.mp4" % name)).write_bytes(b"")
+
+    split = tmp_path / "split"
+    split_path_main([str(videos), str(split),
+                     "--is_anchor", "--ori_split_path", str(ori)])
+
+    assert (split / "train.lst").read_text().split() == [
+        "VIRAT_S_040000_00_F_0_1"]
+    assert (split / "val.lst").read_text().split() == [
+        "VIRAT_S_040100_01_F_2_0"]
+    assert (split / "test.lst").read_text().split() == [
+        "VIRAT_S_000000_02_F_1_1"]
+    assert "VIRAT_S_999999_99_F_0_0 not in all lst" in \
+        capsys.readouterr().out

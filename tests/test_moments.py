@@ -10,7 +10,7 @@ from multiverse_tpu.forking_paths.moments import (
     make_moment_id,
     merge_annotation_into_moment,
     pixel_to_world_ground,
-    vehicle_world_trajectories,
+    vehicle_trajectories,
 )
 
 
@@ -102,17 +102,39 @@ def test_build_final_moments():
     assert out[0]["moment_id"] == "0400_0_1_0_annoA"
 
 
-def test_vehicle_world_trajectories():
+def test_vehicle_trajectories():
     rows = [
-        (3, 0, [100.0, 100.0, 200.0, 180.0]),
         (3, 12, [110.0, 100.0, 210.0, 180.0]),
+        (3, 0, [100.0, 100.0, 200.0, 180.0]),
         (5, 0, [0.0, 0.0, 10.0, 10.0]),      # not a vehicle
     ]
-    out = vehicle_world_trajectories(
+    # box CENTER through the homography, x mirrored, sorted by frame
+    # (reference: get_vehicle_traj.py:195-222)
+    pixel, world = vehicle_trajectories(
         rows, vehicle_ids=[3], homography=np.eye(3), scene="0000")
-    assert list(out) == [3]
-    np.testing.assert_allclose(out[3][0], [0, -150.0, 180.0])
-    np.testing.assert_allclose(out[3][1], [12, -160.0, 180.0])
+    np.testing.assert_allclose(pixel, [[0, 3, 150.0, 140.0],
+                                       [12, 3, 160.0, 140.0]])
+    np.testing.assert_allclose(world, [[0, 3, -150.0, 140.0],
+                                       [12, 3, -160.0, 140.0]])
+
+
+def test_vehicle_trajectories_0002_pixel_upscale():
+    # world keeps the native 1280x720 homography space; pixel rows are
+    # upscaled x1.5 to the released 1920x1080 videos
+    rows = [(7, 4, [100.0, 100.0, 300.0, 200.0])]  # center (200, 150)
+    pixel, world = vehicle_trajectories(
+        rows, vehicle_ids=[7], homography=np.eye(3), scene="0002")
+    np.testing.assert_allclose(pixel, [[4, 7, 300.0, 225.0]])
+    np.testing.assert_allclose(world, [[4, 7, -200.0, 150.0]])
+
+
+def test_vehicle_trajectories_frame_filter():
+    rows = [(3, 0, [0.0, 0.0, 2.0, 2.0]), (3, 5, [0.0, 0.0, 2.0, 2.0])]
+    pixel, world = vehicle_trajectories(
+        rows, vehicle_ids=[3], homography=np.eye(3), scene="0000",
+        frame_ids=[0])
+    assert [r[0] for r in pixel] == [0]
+    assert [r[0] for r in world] == [0]
 
 
 def test_world_to_carla_transform():
