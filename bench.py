@@ -207,8 +207,8 @@ def main():
             "vs_baseline": None,
             "error": f"TPU backend unreachable: {exc}",
             "note": "chip outage at bench time; last measured headline "
-                    "(int8 serving tier) was 103.5 traj/s = 1607x the "
-                    "measured baseline (STATUS.md §Perf, 2026-08-16)",
+                    "(int8a serving tier) was 106.4 traj/s = 1652x the "
+                    "measured baseline (STATUS.md §Perf, 2026-08-18)",
         }))
         return
     print(f"bench: device={dev.platform}:{dev.device_kind}",
@@ -303,7 +303,8 @@ def main():
         # raw per-window rates make a degraded run visible
         "bf16_windows": bf16_windows,
     }
-    if int8_windows is not None:
+    if int8_traj_per_sec is not None:
+        record["int8_value"] = round(int8_traj_per_sec, 2)
         record["int8_windows"] = int8_windows
     if int8a_traj_per_sec is not None:
         record["int8a_value"] = round(int8a_traj_per_sec, 2)

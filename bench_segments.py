@@ -9,11 +9,16 @@ channel-first readout fix), so each stage of model_forward is timed as
 its own jitted fwd+bwd at the published training shape (batch 20,
 bf16), with analytic FLOPs from flops.train_segment_flops:
 
-* scene_cnn    — strided conv pyramid (bwd wrt params only: it is the
-                 first layer, no input grads flow upstream -> 2x fwd)
+* scene_cnn    — strided conv pyramid (bwd wrt params only, but the
+                 first conv's weight grads need dgrad through the
+                 second -> ~2.5x fwd for a two-layer pyramid)
 * enc_class    — class ConvLSTM encoder scan (bwd wrt params+inputs,
                  its input is the scene conv output -> 3x fwd)
-* enc_reg      — offset encoder scan (input is raw data -> 2x fwd)
+* enc_reg      — offset encoder scan (bwd wrt cell params only, but
+                 BPTT still computes dL/dh_{t-1} through the gate
+                 conv each step, and the recurrent h channels are
+                 256 of the 258 gate-conv input channels -> the
+                 executed dgrad is effectively full -> 3x fwd)
 * dec_class    — GNN-attended class decoder scan (3x fwd)
 * dec_reg      — offset decoder scan (3x fwd)
 * loss_softgrid— soft-grid label conv + CE/Huber (elementwise-dominated;
@@ -165,11 +170,11 @@ def main():
 
     segs = {
         "scene_cnn": (jax.jit(jax.value_and_grad(f_scene)),
-                      (params,), 2.0),
+                      (params,), 2.5),
         "enc_class": (jax.jit(jax.value_and_grad(f_enc_class, (0, 1))),
                       (sp["enc_class"], scene_convs_i), 3.0),
         "enc_reg": (jax.jit(jax.value_and_grad(f_enc_reg)),
-                    (sp["enc_reg"],), 2.0),
+                    (sp["enc_reg"],), 3.0),
         "dec_class": (jax.jit(jax.value_and_grad(f_dec_class, (0, 1, 2))),
                       (sp, zero_state, scene_mean), 3.0),
         "dec_reg": (jax.jit(jax.value_and_grad(f_dec_reg, (0, 1))),
@@ -212,12 +217,15 @@ def main():
         table[name] = {
             "ms": round(sec * 1e3, 2),
             "tflops": round(tflops, 1),
-            "pct_roofline": round(100.0 * tflops / roofline, 1),
             "bwd_mult": mult,
         }
+        if roofline == roofline:          # omit off-TPU (nan != nan)
+            table[name]["pct_roofline"] = round(
+                100.0 * tflops / roofline, 1)
         total_ms += sec * 1e3
+        pct = table[name].get("pct_roofline", float("nan"))
         print(f"bench_segments: {name:>14} {sec * 1e3:7.2f} ms "
-              f"{tflops:6.1f} TF/s ({table[name]['pct_roofline']:5.1f}% "
+              f"{tflops:6.1f} TF/s ({pct:5.1f}% "
               f"of roofline; compile {compile_s:.0f}s)", file=sys.stderr)
 
     # the whole fused step, same process/shapes (cross-check)
@@ -240,20 +248,22 @@ def main():
     step_ms = best * 1e3
     step_tflops = train_step_flops(cfg, BATCH) / best / 1e12
 
-    print(json.dumps({
+    record = {
         "metric": "train_step_segment_rooflines",
         "unit": "ms|TFLOP/s",
         "batch": BATCH,
         "dtype": DTYPE,
-        "roofline_tflops": round(roofline, 1),
         "segments": table,
         "segments_total_ms": round(total_ms, 2),
         "full_step_ms": round(step_ms, 2),
         "full_step_tflops": round(step_tflops, 1),
-        "full_step_pct_roofline": round(
-            100.0 * step_tflops / roofline, 1),
         "coverage": round(total_ms / step_ms, 3),
-    }))
+    }
+    if roofline == roofline:              # off-TPU: no roofline fields
+        record["roofline_tflops"] = round(roofline, 1)
+        record["full_step_pct_roofline"] = round(
+            100.0 * step_tflops / roofline, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

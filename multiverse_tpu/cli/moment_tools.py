@@ -200,6 +200,12 @@ def auto_candidates_main(argv=None) -> None:
             ) == args.only_scene]
     if not traj_files:
         raise SystemExit("no trajectory files to sweep")
+    # validate every file's scene against the registry BEFORE the
+    # sweep: a KeyError mid-sweep would discard hours of accumulated
+    # replay results (the reference asserts scene membership up front)
+    for f in traj_files:
+        _resolve_scene(os.path.splitext(os.path.basename(f))[0],
+                       registry, is_actev=args.is_actev)
 
     client = _connect(args.host, args.port)
     success, fails = find_candidate_moments(

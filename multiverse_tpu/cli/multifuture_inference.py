@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_scene_enc", action="store_true")
     parser.add_argument("--use_single_decoder", action="store_true")
     parser.add_argument("--use_soft_grid_class", action="store_true")
+    parser.add_argument("--norm_input", action="store_true",
+                        help="scale scene one-hot maps to [-1,1] before "
+                             "the scene CNN — REQUIRED when decoding a "
+                             "checkpoint trained with --norm_input "
+                             "(reference: SimAug/code/pred_models.py"
+                             ":284-286 normalizes train and test alike)")
     parser.add_argument("--scene_feat_path", default=None)
     parser.add_argument("--scene_id2name", default=None)
     parser.add_argument("--scene_h", type=int, default=36)
@@ -88,6 +94,7 @@ def main(argv=None) -> None:
         use_scene_enc=args.use_scene_enc,
         use_single_decoder=args.use_single_decoder,
         use_soft_grid_class=args.use_soft_grid_class,
+        norm_input=args.norm_input,
         scene_h=args.scene_h,
         scene_w=args.scene_w,
         scene_class=args.scene_class,

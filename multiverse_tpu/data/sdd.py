@@ -283,10 +283,16 @@ def extract_needed_frames(
         "actual_frame_count": None,
     }
     idx = saved = 0
-    while True:
+    # bounded by the metadata frame count, warn-and-continue on failed
+    # reads — one corrupt frame must not drop every later needed frame
+    # (reference: get_frames_sdd.py:131-140)
+    total = int(stats["frame_count"])
+    while idx < total:
         ok, frame = vcap.read()
         if not ok:
-            break
+            print("warning, %s frame of %s failed" % (idx, videoname))
+            idx += 1
+            continue
         if idx in wanted:
             if resize:
                 # reference: get_new_hw takes (shape[0], shape[1]) —

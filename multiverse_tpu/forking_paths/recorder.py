@@ -168,6 +168,14 @@ def record_moment(
     """
     import carla
 
+    if start_offset >= total_frames:
+        # fail before the simulation, not in encode_video afterwards:
+        # a warm-up longer than the moment records zero frames
+        raise ValueError(
+            "start_offset %d >= total_frames %d for moment %r: the "
+            "warm-up lead-in would skip every frame"
+            % (start_offset, total_frames, moment_name))
+
     world = client.get_world()
     settings = world.get_settings()
     settings.synchronous_mode = True

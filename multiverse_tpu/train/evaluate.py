@@ -160,16 +160,25 @@ def evaluate(
 
     perf: Dict[str, float] = {}
     for i in cfg.active_scales:
-        if not l2[i]:
+        if only_scene is not None and not l2[i]:
+            # a scene filter that matched nothing is a caller error; an
+            # empty split without the filter keeps the reference's
+            # non-fatal nan metrics
             raise ValueError(
                 "no examples matched only_scene=%r (scenes present: "
                 "use --per_scene_eval to list them)" % (only_scene,))
-        perf["grid%d_acc" % i] = float(np.mean(correct[i]))
+        perf["grid%d_acc" % i] = float(np.mean(correct[i])) \
+            if correct[i] else float("nan")
         for t in range(pred_len):
             perf["grid%d_acc_@T=%d" % (i, t)] = float(
-                np.mean(correct_at_t[i][t]))
-        d = np.asarray(l2[i])
-        dc = np.asarray(l2_center[i])
+                np.mean(correct_at_t[i][t])) \
+                if correct_at_t[i][t] else float("nan")
+        # empty-split eval stays non-fatal: nan metrics, like averaging
+        # zero examples in the reference's accumulator tables
+        d = np.asarray(l2[i]) if l2[i] \
+            else np.full((1, pred_len), np.nan)
+        dc = np.asarray(l2_center[i]) if l2_center[i] \
+            else np.full((1, pred_len), np.nan)
         perf["grid%d_traj_ade" % i] = float(d.mean())
         perf["grid%d_traj_fde" % i] = float(d[:, -1].mean())
         perf["grid%d_traj_centerOnly_ade" % i] = float(dc.mean())

@@ -465,3 +465,40 @@ def test_auto_moment_candidates_cli(carla_env, tmp_path):
             str(traj_dir), str(moments), "--is_actev",
             "--only_scene", "0000",
             "--scene_registry", _actev_registry_json(tmp_path)])
+
+
+def test_auto_moment_candidates_rejects_unregistered_scene(
+        carla_env, tmp_path):
+    """A traj file whose scene is not in the registry must fail BEFORE
+    the sweep (a KeyError mid-sweep would discard hours of accumulated
+    replay results)."""
+    from multiverse_tpu.cli.moment_tools import auto_candidates_main
+
+    traj_dir = tmp_path / "traj"
+    traj_dir.mkdir()
+    (traj_dir / "VIRAT_S_040000_00.txt").write_text("0\t1\t0\t0\t0.5\n")
+    # scene 0500 is NOT in the registry (only 0400 is)
+    (traj_dir / "VIRAT_S_050000_00.txt").write_text("0\t1\t0\t0\t0.5\n")
+
+    with pytest.raises(SystemExit, match="0500"):
+        auto_candidates_main([
+            str(traj_dir), str(tmp_path / "moments"), "--is_actev",
+            "--scene_registry", _actev_registry_json(tmp_path)])
+
+
+def test_record_moment_rejects_start_offset_past_end(carla_env,
+                                                     tmp_path):
+    """start_offset >= total_frames records zero frames — refuse up
+    front instead of crashing in encode_video after the simulation."""
+    from multiverse_tpu.forking_paths.recorder import record_moment
+    from multiverse_tpu.forking_paths.scenes import SceneConfig, Weather
+
+    client = carla_env.Client()
+    scene = SceneConfig(name="0400", map="Town05", fps=25.0,
+                        weather=Weather())
+    with pytest.raises(ValueError, match="start_offset"):
+        record_moment(
+            client, scene, rigs=[], ped_controls={},
+            vehicle_controls={}, total_frames=5,
+            out_path=str(tmp_path), moment_name="m",
+            start_offset=10)

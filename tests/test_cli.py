@@ -249,6 +249,55 @@ def test_multifuture_pipeline(trained, workdir, capsys):
     assert len(vals) == 5 and all(np.isfinite(vals))
 
 
+def test_multifuture_inference_norm_input_flag(trained, workdir,
+                                               capsys):
+    """--norm_input on the offline driver reaches the model: a
+    norm_input-trained checkpoint must be decodable with the same
+    scaling it trained with (reference: SimAug/code/pred_models.py
+    :284-286 normalizes train and test alike)."""
+    from multiverse_tpu.cli import multifuture_inference
+
+    rng = workdir["rng"]
+    cfg = workdir["cfg"]
+    root = os.path.join(workdir["root"], "norm")
+    os.makedirs(root, exist_ok=True)
+    traj_path, mf_path, scene_path, id2name = write_multifuture_dataset(
+        root, cfg, rng, num_traj=2, max_pred_len=6)
+
+    model_path = os.path.join(trained, "toy", "01", "best")
+    base_args = [
+        model_path, traj_path, mf_path, "",
+        "--obs_length", "4",
+        "--num_out", "4", "--diverse_beam", "--diverse_gamma", "0.01",
+        "--fix_num_timestep", "1",
+        "--grid_strides", "2,4", "--use_grids", "1,0",
+        "--emb_size", "8", "--enc_hidden_size", "16",
+        "--dec_hidden_size", "16", "--scene_conv_dim", "8",
+        "--use_gnn", "--use_scene_enc",
+        "--scene_feat_path", scene_path,
+        "--scene_id2name", id2name,
+        "--scene_h", "12", "--scene_w", "16", "--scene_class", "5",
+        "--batch_size", "2", "--compute_dtype", "float32",
+    ]
+    outs = {}
+    for tag, extra in (("plain", []), ("norm", ["--norm_input"])):
+        out_file = os.path.join(root, "mf_%s.traj.p" % tag)
+        args = list(base_args)
+        args[3] = out_file
+        multifuture_inference.main(args + extra)
+        with open(out_file, "rb") as f:
+            outs[tag] = pickle.load(f)
+    capsys.readouterr()
+    # the scaling must actually change the decode (inputs are one-hot
+    # maps, so [-1,1] rescaling shifts every scene feature)
+    a = np.concatenate([np.asarray(v).ravel()
+                        for v in outs["plain"].values()])
+    b = np.concatenate([np.asarray(v).ravel()
+                        for v in outs["norm"].values()])
+    assert a.shape == b.shape
+    assert not np.allclose(a, b)
+
+
 def test_multifuture_inference_decode_quant(trained, workdir, capsys,
                                             monkeypatch):
     """--decode_quant int8a drives the q8 fused decode through the full

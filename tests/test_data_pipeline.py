@@ -242,3 +242,23 @@ def test_evaluate_only_scene(prepro_dir, tmp_path):
 
     with pytest.raises(ValueError, match="only_scene"):
         evaluate(ds, cfg, step_fn, batch_size=4, only_scene="9999")
+
+
+def test_evaluate_empty_split_is_nonfatal(prepro_dir):
+    """A zero-example split WITHOUT a scene filter yields nan metrics
+    instead of raising — an empty/misconfigured val split must not
+    abort a training run mid-flight (only a only_scene filter that
+    matches nothing is a caller error)."""
+    from multiverse_tpu.data.dataset import TrajectoryDataset
+
+    out, cfg = prepro_dir
+    ds = read_data(out, "test", cfg)
+    empty = TrajectoryDataset(
+        {k: v[:0] for k, v in ds.data.items()}, ds.shared, cfg, "test")
+
+    def step_fn(batch):  # must never run: there are no batches
+        raise AssertionError("step_fn called on an empty split")
+
+    perf = evaluate(empty, cfg, step_fn, batch_size=4)
+    assert np.isnan(perf["grid0_traj_ade"])
+    assert np.isnan(perf["grid0_acc"])

@@ -302,6 +302,46 @@ def test_sdd_frames_cli(tmp_path):
     assert stats["frame_count"] == 8.0
 
 
+def test_extract_needed_frames_continues_past_bad_frame(
+        tmp_path, monkeypatch, capsys):
+    """One corrupt frame must not drop every later needed frame — the
+    loop warns and continues, bounded by the metadata frame count
+    (reference: get_frames_sdd.py:131-140)."""
+    import cv2
+
+    from multiverse_tpu.data import sdd
+
+    class FakeCap:
+        def __init__(self, path):
+            self.idx = 0
+
+        def get(self, prop):
+            return {cv2.CAP_PROP_FRAME_HEIGHT: 48.0,
+                    cv2.CAP_PROP_FRAME_WIDTH: 64.0,
+                    cv2.CAP_PROP_FPS: 10.0,
+                    cv2.CAP_PROP_FRAME_COUNT: 6.0}[prop]
+
+        def read(self):
+            i, self.idx = self.idx, self.idx + 1
+            if i == 2:          # the corrupt frame
+                return False, None
+            if i >= 6:
+                return False, None
+            return True, np.full((48, 64, 3), i, np.uint8)
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCap)
+    saved, stats = sdd.extract_needed_frames(
+        "fake.mp4", [2, 4], str(tmp_path / "out"), "vid")
+    # frame 2 failed (warned), frame 4 is still written
+    assert saved == 1
+    assert stats["actual_frame_count"] == 1
+    assert sorted(os.listdir(tmp_path / "out")) == ["vid_F_00000004.jpg"]
+    assert "warning, 2 frame of vid failed" in capsys.readouterr().out
+
+
 def test_resize_rotate_sdd_cli(tmp_path):
     """mvt-resize-rotate-sdd: portrait videos rotate 90° clockwise to
     1920x1080, change list records id/resolution/rotation (reference:
