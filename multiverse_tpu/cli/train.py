@@ -153,7 +153,7 @@ def main(argv=None) -> None:
                                 per_scene_eval=args.per_scene_eval)
             best[metric] = evalperf[metric]
             best["step"] = step_offset
-            val_perf.append((None, evalperf))
+            val_perf.append((None, evalperf, step_offset, False))
             print("loaded baseline: val %s=%.4f" % (
                 metric, evalperf[metric]))
 
@@ -203,12 +203,19 @@ def main(argv=None) -> None:
                               {k: round(v, 4) for k, v in sorted(
                                   evalperf.items()) if "@T" not in k},
                               metric, best[metric], best["step"]))
-                    if evalperf[metric] < best[metric]:
+                    is_best = evalperf[metric] < best[metric]
+                    if is_best:
                         best[metric] = evalperf[metric]
                         best["step"] = global_step + step_offset
                         ckpt.save(global_step + step_offset, host_params,
                                   best=True)
-                        val_perf.append((loss_ma.me(), evalperf))
+                    # EVERY eval point is recorded (not just best
+                    # flips) so val_perf.json carries the full
+                    # training curve; the reference only appends on
+                    # improvement (code/train.py:230-240) but its
+                    # stdout carries the rest — here the artifact does
+                    val_perf.append((loss_ma.me(), evalperf,
+                                     global_step + step_offset, is_best))
                     finalperf = evalperf
         loss_buf.flush()
 

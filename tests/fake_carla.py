@@ -80,6 +80,10 @@ class _BoundingBox:
 
 _ids = itertools.count(1)
 
+# commanded-speed fraction a real walker covers per tick (the
+# acceleration ramp the reference's ×1.22 calibration offsets)
+WALKER_SPEED_EFFICIENCY = 1.22
+
 
 class Image:
     """Fake sensor frame: solid-value BGRA buffer.
@@ -107,6 +111,7 @@ class Actor:
         self.controls: List = []
         self._listener = None
         self.bp = bp
+        self.current_control = None
 
     def get_transform(self):
         return self._transform
@@ -122,6 +127,8 @@ class Actor:
 
     def apply_control(self, control):
         self.controls.append(control)
+        if isinstance(control, WalkerControl):
+            self.current_control = control
 
     def listen(self, fn):
         self._listener = fn
@@ -200,6 +207,24 @@ class World:
 
     def tick(self):
         self.frame += 1
+        # Walker kinematics in synchronous mode: integrate the active
+        # WalkerControl over the fixed timestep.  The real 0.9.6 engine's
+        # acceleration ramp makes walkers cover ~1/1.22 of the commanded
+        # speed per tick — the behavior controls.SPEED_CALIBRATION was
+        # measured to compensate — so the fake models that efficiency
+        # and calibrated replays land back on the source trajectory.
+        dt = self.settings.fixed_delta_seconds
+        if self.settings.synchronous_mode and dt:
+            for actor in self.actors:
+                c = actor.current_control
+                if (actor.is_alive and c is not None
+                        and actor.type_id.startswith("walker")
+                        and c.speed > 0.0):
+                    step = c.speed / WALKER_SPEED_EFFICIENCY * dt
+                    loc = actor._transform.location
+                    loc.x += c.direction.x * step
+                    loc.y += c.direction.y * step
+                    loc.z += c.direction.z * step
         for actor in self.actors:
             if (actor.is_alive and actor._listener is not None
                     and actor.type_id.startswith("sensor.camera")):
