@@ -137,6 +137,39 @@ def _measure_matmul_roofline(jax) -> float:
     return 2.0 * M ** 3 * K_ITERS / best / 1e12
 
 
+def _measure_matmul_roofline_int8(jax) -> float:
+    """Measured int8 matmul peak (int8 x int8 -> int32 on the MXU), in
+    TOP/s — the denominator for the quant tiers' MFU instead of an
+    assumed 2x-bf16 factor.  Same chained-loop protocol as the bf16
+    probe."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    M, K_ITERS = 8192, 64
+    b = jnp.ones((M, M), jnp.int8)
+    x = jnp.ones((M, M), jnp.int8)
+
+    def chain(x, b):
+        def body(_, v):
+            out = lax.dot_general(
+                v, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            # renormalize to int8 for the next iteration (cheap
+            # elementwise; keeps the loop int8-in like the kernels)
+            return (out & 1).astype(jnp.int8)
+        out = lax.fori_loop(0, K_ITERS, body, x)
+        return jnp.sum(out.astype(jnp.int32))
+
+    f = jax.jit(chain)
+    float(np.asarray(f(x, b)))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(np.asarray(f(x, b)))
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * M ** 3 * K_ITERS / best / 1e12
+
+
 def _wait_for_backend(jax, budget_s: float):
     """Wait for the backend for up to `budget_s`: the shared tunneled
     chip intermittently fails init for minutes at a time — sometimes
@@ -322,8 +355,39 @@ def main():
             record["int8_mfu_vs_2x_roofline"] = round(
                 int8_tflops / (2.0 * roofline), 3)
     if int8a_traj_per_sec is not None:
-        record["int8a_tflops"] = round(
-            (step_flops * int8a_traj_per_sec / BATCH) / 1e12, 1)
+        int8a_tflops = (step_flops * int8a_traj_per_sec / BATCH) / 1e12
+        record["int8a_tflops"] = round(int8a_tflops, 1)
+        if roofline is not None:
+            # the headline tier's MFU closure (VERDICT r4 #4): achieved
+            # vs the assumed 2x peak, then vs an ANALYTIC matmul
+            # ceiling built from the measured int8 + bf16 rooflines and
+            # the per-mode FLOP split — the residual between measured
+            # step time and that ceiling is the non-MXU share
+            # (exp/softmax, top-k, beam select/gathers, scan overhead)
+            from multiverse_tpu.flops import beam_decode_flops_split
+
+            record["int8a_mfu_vs_2x_roofline"] = round(
+                int8a_tflops / (2.0 * roofline), 3)
+            int8_roofline = _measure_matmul_roofline_int8(jax)
+            record["int8_roofline_tops"] = round(int8_roofline, 1)
+            split = beam_decode_flops_split(cfg, BATCH, T_PRED)
+            t_matmul = (
+                (split["int8_gate"] + split["int8_attn"])
+                / (int8_roofline * 1e12)
+                + split["bf16_rest"] / (roofline * 1e12))
+            ceiling = BATCH / t_matmul
+            t_meas = BATCH / int8a_traj_per_sec
+            record["int8a_analytic_matmul_ceiling_traj_s"] = round(
+                ceiling, 1)
+            record["int8a_pct_of_matmul_ceiling"] = round(
+                100.0 * int8a_traj_per_sec / ceiling, 1)
+            record["int8a_nonmxu_residual_ms_per_batch"] = round(
+                (t_meas - t_matmul) * 1e3, 1)
+            # readout quantization: the recorded negative — the class
+            # readout is ~0.09% of the step's matmul FLOPs, so an int8
+            # readout buys < 0.05% even at a perfect 2x
+            record["readout_share_of_flops"] = round(
+                split["bf16_readout_class"] / step_flops, 5)
     print(json.dumps(record))
 
 

@@ -163,6 +163,34 @@ def main():
     def _r(v):
         return None if v is None else round(v, 2)
 
+    # itemize the transfer-bound .prob.p path (VERDICT r4 #7): one
+    # instrumented full run accumulating per-phase host wall time —
+    # build (host batch packing + dispatch), fetch (blocking device_get
+    # = residual device compute + the wire), pack (upcast + pickle
+    # assembly) — so "exactly the link" is a measured claim with the
+    # host-side share itemized, not a back-of-envelope
+    timings = {}
+    t0 = time.perf_counter()
+    run_multifuture_inference(
+        params, subset(N), cfg, batch_size=BATCH, T_max=T_PRED,
+        need_prob=True, timings=timings)
+    wall = time.perf_counter() - t0
+    nb = max(int(timings.get("batches", 0)), 1)
+    fetch_mb = timings["fetch_bytes"] / 1e6
+    breakdown = {
+        "wall_s": round(wall, 2),
+        "traj_s": round(N / wall, 2),
+        "batches": nb,
+        "build_ms_per_batch": round(timings["build_s"] / nb * 1e3, 1),
+        "fetch_ms_per_batch": round(timings["fetch_s"] / nb * 1e3, 1),
+        "pack_ms_per_batch": round(timings["pack_s"] / nb * 1e3, 1),
+        "fetch_mb_per_batch": round(fetch_mb / nb, 1),
+        "effective_fetch_mbps": round(
+            fetch_mb / max(timings["fetch_s"], 1e-9), 2),
+    }
+    print(f"bench_infer: with_prob breakdown {breakdown}",
+          file=sys.stderr)
+
     record = {
         "metric": "offline_inference_throughput",
         "value": _r(rates["traj_only"]),
@@ -171,6 +199,7 @@ def main():
         "with_prob_f16_value": _r(rates["with_prob_f16"]),
         "batches": N_BATCHES,
         "batch_size": BATCH,
+        "with_prob_breakdown": breakdown,
     }
     if "traj_only_int8a" in rates:
         record["int8a_value"] = _r(rates["traj_only_int8a"])

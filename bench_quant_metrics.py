@@ -60,6 +60,13 @@ def main():
     ap.add_argument("--train_steps", type=int, default=400)
     ap.add_argument("--train_batch", type=int, default=64)
     ap.add_argument("--eval_traj", type=int, default=128)
+    ap.add_argument("--data_dir", default=None,
+                    help="campaign.py work dir: per-seed checkpoints "
+                         "train on its REAL fake-CARLA train npz and "
+                         "every tier evaluates on its structured "
+                         "multifuture eval set (obs TSVs + GT pickles) "
+                         "instead of random-walk synthetics — the "
+                         "VERDICT r4 #5 rebase")
     ap.add_argument("--out", default="QUANT_METRICS.json")
     args = ap.parse_args()
     tiers = args.tiers.split(",")
@@ -98,6 +105,35 @@ def main():
         batch_size=args.train_batch,
     ).validate()
 
+    campaign = None
+    if args.data_dir:
+        import pickle
+        from glob import glob
+
+        from multiverse_tpu.data.dataset import read_data
+        from multiverse_tpu.inference import load_multifuture_inputs
+
+        with open(os.path.join(args.data_dir, "meta.json")) as f:
+            meta = json.load(f)
+        # the campaign camera's pixel space (dataset contract); model
+        # dims are already the flagship defaults
+        cfg_train = cfg_train.replace(video_h=108, video_w=192).validate()
+        train_data = read_data(meta["prepro"], "train", cfg_train)
+        gt = {}
+        for p in glob(os.path.join(meta["mf_out"], "test", "*.p")):
+            with open(p, "rb") as f:
+                gt[os.path.splitext(os.path.basename(p))[0]] = \
+                    pickle.load(f)
+        inputs_real = load_multifuture_inputs(
+            os.path.join(meta["obs_out"], "traj_2.5fps", "test"),
+            os.path.join(meta["mf_out"], "test"),
+            meta["mf_scene"], meta["id2name"], cfg_train)
+        campaign = {"train_data": train_data, "gt": gt,
+                    "inputs": inputs_real, "meta": meta}
+        print(f"campaign data: {train_data.num_examples} train ex, "
+              f"{len(inputs_real.traj_ids)} eval trajectories",
+              file=sys.stderr)
+
     def tier_cfg(tier):
         if tier == "f32":
             return cfg_train.replace(
@@ -120,31 +156,47 @@ def main():
         # synthetic; what matters is a PEAKED trained checkpoint, not
         # the loss value)
         parts = {"total": float("nan")}   # --train_steps 0 guard
-        for i in range(args.train_steps):
-            batch, _ = make_train_batch(rng, cfg_train, args.train_batch)
-            state, parts = step(state, jax.device_put(batch))
+        if campaign is not None:
+            # real structured data: per-seed variation is the param
+            # init (+ the optimizer path it induces); data order is
+            # the dataset's own epoch shuffle
+            for batch, _ in campaign["train_data"].get_batches(
+                    args.train_batch, num_steps=args.train_steps):
+                state, parts = step(state, jax.device_put(batch))
+        else:
+            for i in range(args.train_steps):
+                batch, _ = make_train_batch(
+                    rng, cfg_train, args.train_batch)
+                state, parts = step(state, jax.device_put(batch))
         final_loss = float(np.asarray(parts["total"]))
         print(f"seed {seed}: trained {args.train_steps} steps "
               f"(loss {final_loss:.3f}, "
               f"{time.perf_counter() - t0:.0f}s)", file=sys.stderr)
 
-        inputs = synthesize_multifuture_inputs(
-            cfg_train, num_traj=args.eval_traj, seed=7000 + seed,
-            max_pred_len=25)
-        # half the eval set gets the top-down camera id so both
-        # evaluator groups (45-degree / top-down,
-        # code/multifuture_eval_trajs.py:71) carry real numbers
-        inputs = inputs._replace(traj_ids=[
-            tid if n % 2 else tid.replace("_cam1", "_cam4")
-            for n, tid in enumerate(inputs.traj_ids)])
-        gt = synth_gt_futures(inputs, np.random.RandomState(9000 + seed))
+        if campaign is not None:
+            inputs, gt = campaign["inputs"], campaign["gt"]
+            t_max = int(inputs.pred_lengths.max())
+        else:
+            inputs = synthesize_multifuture_inputs(
+                cfg_train, num_traj=args.eval_traj, seed=7000 + seed,
+                max_pred_len=25)
+            # half the eval set gets the top-down camera id so both
+            # evaluator groups (45-degree / top-down,
+            # code/multifuture_eval_trajs.py:71) carry real numbers
+            inputs = inputs._replace(traj_ids=[
+                tid if n % 2 else tid.replace("_cam1", "_cam4")
+                for n, tid in enumerate(inputs.traj_ids)])
+            gt = synth_gt_futures(
+                inputs, np.random.RandomState(9000 + seed))
+            t_max = 25
 
         for tier in tiers:
             cfg_t = tier_cfg(tier)
             t1 = time.perf_counter()
             output_data, beam_prob = run_multifuture_inference(
                 state.params, inputs, cfg_t,
-                batch_size=64, T_max=25, need_prob=True)
+                batch_size=min(64, len(inputs.traj_ids)),
+                T_max=t_max, need_prob=True)
             trajs = evaluate_multifuture_trajs(
                 {k: v for k, v in output_data.items()},
                 gt_path="", gt_trajs=gt)
@@ -152,6 +204,7 @@ def main():
                 beam_prob, gt_path="", gt_trajs=gt,
                 scene_h=cfg_t.scene_grids[cfg_t.active_scales[0]][0],
                 scene_w=cfg_t.scene_grids[cfg_t.active_scales[0]][1],
+                video_h=cfg_t.video_h, video_w=cfg_t.video_w,
                 time_list=(0, 1, 2))
             # evaluator keys are 1-based: time_list=(0,1,2) -> nll_T=1..3
             nll_vals = [nll[f"nll_T={t}"] for t in (1, 2, 3)
@@ -188,8 +241,12 @@ def main():
 
     artifact = {
         "experiment": "decode-quant tier decision on END metrics",
+        "data": ("campaign fake-CARLA structured dataset + multifuture "
+                 "eval set" if campaign is not None
+                 else "random-walk synthetic"),
         "recipe": (
-            f"per seed: {args.train_steps}-step full-size synthetic "
+            f"per seed: {args.train_steps}-step full-size "
+            f"{'REAL-data' if campaign is not None else 'synthetic'} "
             f"train (batch {args.train_batch}, bf16) -> "
             f"run_multifuture_inference (batch 64, K=20, T=25) -> "
             f"eval/multifuture.py evaluators on "

@@ -212,6 +212,11 @@ def main():
     ap.add_argument("--iters", type=int, default=None,
                     help="timing iterations (default: 40 base, "
                          "20 simaug, 8 simaug_adv)")
+    ap.add_argument("--fuse_scan_pairs", action="store_true",
+                    help="base mode: run the encoder/decoder pairs as "
+                         "merged scans (cfg.fuse_scan_pairs) — the "
+                         "bench_pairscan.py fusion, A/B'd at full-step "
+                         "altitude")
     args = ap.parse_args()
 
     from bench import _wait_for_backend
@@ -241,6 +246,7 @@ def main():
         use_scene_enc=True,
         batch_size=BATCH,
         compute_dtype="bfloat16",
+        fuse_scan_pairs=args.fuse_scan_pairs,
     ).validate()
 
     print(f"bench_train: device={dev.platform}:{dev.device_kind} "
@@ -302,6 +308,7 @@ def main():
         "examples_per_sec": round(buffered * BATCH, 1),
         "batch": BATCH,
         "dtype": "bfloat16",
+        "fuse_scan_pairs": args.fuse_scan_pairs,
         "tflops": round(tflops, 1),
     }
     if dev.platform == "tpu":

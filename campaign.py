@@ -66,7 +66,6 @@ FLAGSHIP_TRAIN = [
     "--init_lr", "0.3", "--learning_rate_decay", "0.95",
     "--num_epoch_per_decay", "2.0", "--grid_loss_weight", "1.0",
     "--grid_reg_loss_weight", "0.2", "--val_grid_num", "0",
-    "--compute_dtype", "bfloat16",
 ]
 
 
@@ -305,13 +304,14 @@ def _meta(work):
         return json.load(f)
 
 
-def _train_cmd(work, meta, name, epochs, seed, extra=()):
+def _train_cmd(work, meta, name, epochs, seed, dtype, extra=()):
     return [
         sys.executable, "-m", "multiverse_tpu.cli.train",
         meta["prepro"], os.path.join(work, "runs"), name,
         "--runId", "0", "--seed", str(seed),
         "--num_epochs", str(epochs),
         "--save_period", str(meta["steps_per_epoch"]),
+        "--compute_dtype", dtype,
         *FLAGSHIP_MODEL, *FLAGSHIP_TRAIN, *extra,
     ]
 
@@ -329,7 +329,8 @@ def stage_train(work, args):
     meta = _meta(work)
     log = os.path.join(work, "train_A.log")
     t0 = time.time()
-    r = _run(_train_cmd(work, meta, "campA", args.epochs, args.seed), log)
+    r = _run(_train_cmd(work, meta, "campA", args.epochs, args.seed,
+                    args.dtype), log)
     assert r.returncode == 0, "train A failed, see %s" % log
     print("run A done in %.0fs" % (time.time() - t0))
 
@@ -346,7 +347,8 @@ def stage_resume(work, args):
     run_dir = os.path.join(work, "runs", "campB", "00")
     log = os.path.join(work, "train_B.log")
 
-    cmd = _train_cmd(work, meta, "campB", args.epochs, args.seed)
+    cmd = _train_cmd(work, meta, "campB", args.epochs, args.seed,
+                 args.dtype)
     print("+ %s" % " ".join(cmd), flush=True)
     logf = open(log, "a")
     proc = subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT,
@@ -371,7 +373,7 @@ def stage_resume(work, args):
 
     remaining = args.epochs - killed_at // spe
     r = _run(_train_cmd(work, meta, "campB", remaining, args.seed,
-                        extra=("--load",)), log)
+                        args.dtype, extra=("--load",)), log)
     assert r.returncode == 0, "run B resume failed, see %s" % log
     with open(os.path.join(work, "resume.json"), "w") as f:
         json.dump({"killed_at_step": killed_at,
@@ -385,10 +387,11 @@ def stage_infer(work, args):
     meta = _meta(work)
     best = os.path.join(work, "runs", "campA", "00", "best")
     results = {}
-    for tier, tier_flags in (
-            ("f32", ["--compute_dtype", "float32"]),
-            ("serving", ["--compute_dtype", "bfloat16",
-                         "--decode_quant", "int8a"])):
+    tiers = [("f32", ["--compute_dtype", "float32"])]
+    if args.dtype == "bfloat16":
+        tiers.append(("serving", ["--compute_dtype", "bfloat16",
+                                  "--decode_quant", "int8a"]))
+    for tier, tier_flags in tiers:
         out_file = os.path.join(work, "camp_%s.traj.p" % tier)
         prob_file = os.path.join(work, "camp_%s.prob.p" % tier)
         cmd = [
@@ -529,6 +532,8 @@ def main():
     ap.add_argument("--data_seed", type=int, default=17)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="train/serve compute dtype; CPU smoke runs need float32")
     ap.add_argument("--train_moments", type=int, default=16)
     ap.add_argument("--val_moments", type=int, default=3)
     ap.add_argument("--test_moments", type=int, default=2)

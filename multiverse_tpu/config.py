@@ -125,6 +125,19 @@ class MultiverseConfig:
     # the published batch 20 fits comfortably without it.
     remat: bool = False
 
+    # Run the class/regression encoder pair — and, at train time, the
+    # decoder pair — as ONE lax.scan stepping both cells per body
+    # (ops/fused_scans.py "two_convs" mode: identical math, half the
+    # sequential scan bodies, XLA overlaps the two gate convs per
+    # step).  Measured +3.3% on the encoder pair and +0.7% on the
+    # decoder pair in isolation at the published train shape
+    # (bench_pairscan.py; the block-diagonal single-conv form measured
+    # 0.58x — decisively negative, the gate convs are
+    # contraction-bound).  Inference keeps the separate class decode:
+    # its fused Pallas kernel path is far faster than any scan-level
+    # pairing.
+    fuse_scan_pairs: bool = False
+
     # Use the Pallas TPU kernels (fused decode step, dense GNN
     # attention) where available.  pallas_call lowers to an opaque
     # custom call with no GSPMD partitioning rule: multi-device

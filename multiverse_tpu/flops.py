@@ -69,6 +69,48 @@ def beam_decode_flops(cfg: MultiverseConfig, n_traj: int,
             + n_traj * t_pred * dec_reg)
 
 
+def beam_decode_flops_split(cfg: MultiverseConfig, n_traj: int,
+                            t_pred: int) -> dict:
+    """beam_decode_flops partitioned by the MXU mode each matmul runs
+    in under the int8a serving tier (STATUS.md §int8a decision):
+
+      int8_gate   — the N·K class-decode gate matmul (int8 since the
+                    round-2 "int8" tier)
+      int8_attn   — the GNN edge-logit + aggregate matmuls (int8 since
+                    the round-3 "int8a" kernel)
+      bf16_rest   — everything that stays bf16: the class readout
+                    ([HW,D]x[D,9] — 2.65 MFLOP/step vs the gate's
+                    ~3 GFLOP, i.e. ~0.09% of the step: quantizing it is
+                    value-free, the recorded negative for VERDICT r4
+                    #4), the per-trajectory offset decode, and the
+                    encoders.
+
+    Sums exactly to beam_decode_flops.  Used by bench.py to state the
+    int8a tier's analytic matmul ceiling against the MEASURED int8 and
+    bf16 rooflines.
+    """
+    h, w, d, e, cs = _dims(cfg)
+    n_beam = n_traj * cfg.beam_size
+    enc_in = cs if cfg.use_scene_enc else e
+    enc = n_traj * cfg.obs_len * (
+        convlstm_step_flops(h, w, enc_in, d)
+        + convlstm_step_flops(h, w, 2, d))
+    gate = n_beam * t_pred * convlstm_step_flops(h, w, e, d)
+    attn = 0.0
+    if cfg.use_gnn:
+        attn = n_beam * t_pred * gnn_step_flops(
+            h, w, d, cs if cfg.use_scene_enc else 0)
+    readout = n_beam * t_pred * readout_step_flops(h, w, d)
+    reg = n_traj * t_pred * (convlstm_step_flops(h, w, 2, d)
+                             + readout_step_flops(h, w, d))
+    return {
+        "int8_gate": gate,
+        "int8_attn": attn,
+        "bf16_rest": readout + reg + enc,
+        "bf16_readout_class": readout,
+    }
+
+
 def train_fwd_flops(cfg: MultiverseConfig, batch_size: int) -> float:
     """Forward FLOPs of one training step (greedy decode path: class +
     offset decoders both per example)."""

@@ -21,6 +21,7 @@ from __future__ import annotations
 import glob
 import os
 import pickle
+import time
 from collections import OrderedDict
 from typing import Callable, Dict, List, NamedTuple, Optional, Tuple
 
@@ -462,6 +463,7 @@ def run_multifuture_inference(
     center_only: bool = False,
     need_prob: bool = True,
     prob_fetch_dtype: str = "float32",
+    timings: Optional[dict] = None,
 ) -> Tuple[Dict[str, list], Dict[str, tuple]]:
     """Decode every trajectory; return (output_data, beam_prob) in the
     reference pickle formats (reference:
@@ -488,6 +490,13 @@ def run_multifuture_inference(
     evaluator's grid NLL by ~1e-5 (measured on a full-size synthetic
     checkpoint, STATUS.md §f16 prob fetch) — opt-in because the stored
     values are no longer bit-identical to the on-device f32 path.
+
+    timings: optional dict the driver accumulates its per-phase wall
+    time into — "build_s" (host batch packing + async dispatch),
+    "fetch_s" (the blocking device_get: residual device compute + the
+    wire), "fetch_bytes" (raw bytes crossing the link), "pack_s" (host
+    upcast + pickle-format assembly), "batches".  Used by
+    bench_infer.py to itemize the transfer-bound .prob.p path.
     """
     if prob_fetch_dtype not in ("float32", "float16"):
         raise ValueError(
@@ -538,9 +547,14 @@ def run_multifuture_inference(
 
     output_data: Dict[str, list] = {}
     beam_prob: Dict[str, tuple] = {}
+    if timings is not None:
+        for k in ("build_s", "fetch_s", "fetch_bytes", "pack_s",
+                  "batches"):
+            timings.setdefault(k, 0.0)
 
     def resolve(idxs, out):
         """Fetch one dispatched batch and write its trajectories."""
+        t0 = time.perf_counter()
         if greedy:
             trajs = np.asarray(jax.device_get(out))   # [B, T, 2]
             logprobs = logits = None
@@ -549,6 +563,11 @@ def run_multifuture_inference(
             if need_prob:
                 trajs, logprobs, logits = jax.device_get(
                     (trajs, logprobs, logits))
+                if timings is not None:
+                    timings["fetch_s"] += time.perf_counter() - t0
+                    timings["fetch_bytes"] += (
+                        trajs.nbytes + logprobs.nbytes + logits.nbytes)
+                    t0 = time.perf_counter()
                 # contract stays f32 regardless of the fetch dtype
                 # (bf16/f16 -> f32 upcast on the host)
                 logits = np.asarray(logits, np.float32)
@@ -556,6 +575,11 @@ def run_multifuture_inference(
                 trajs, logprobs = jax.device_get((trajs, logprobs))
                 logits = None              # never computed (see step)
             trajs = np.asarray(trajs)                 # [B, K, T, 2]
+        if timings is not None and (greedy or not need_prob):
+            timings["fetch_s"] += time.perf_counter() - t0
+            timings["fetch_bytes"] += trajs.nbytes + (
+                logprobs.nbytes if logprobs is not None else 0)
+            t0 = time.perf_counter()
 
         for a, n in enumerate(idxs):
             traj_id = inputs.traj_ids[n]
@@ -574,23 +598,39 @@ def run_multifuture_inference(
                     np.asarray(logits)[a:a + 1, :, :pred_len],
                     np.asarray(logprobs)[a:a + 1],
                 )
+        if timings is not None:
+            timings["pack_s"] += time.perf_counter() - t0
+            timings["batches"] += 1
 
-    # pipeline depth 2: with JAX's async dispatch the next batch is
-    # built + enqueued while the previous one still computes — host
-    # packing/fetch and device decode overlap (same structure as the
-    # serving engine's batcher/resolver split, inline here)
-    pending: list = []
-    for lo in range(0, N, batch_size):
-        idxs = np.arange(lo, min(lo + batch_size, N))
-        pad = batch_size - len(idxs)
-        padded = np.concatenate([idxs, np.full(pad, idxs[-1])]) \
-            if pad else idxs
-        batch = make_batch(inputs, padded, cfg)
-        pending.append((idxs, step_fn(params, batch)))
-        if len(pending) >= 2:
-            resolve(*pending.pop(0))
-    for item in pending:
-        resolve(*item)
+    # pipeline depth 2 with a dedicated resolver thread (the offline
+    # analog of the serving engine's batcher/resolver split): the main
+    # thread builds + async-dispatches device batches while the worker
+    # blocks on device_get and packs — the fetch is socket IO and the
+    # packing numpy copies, both of which release the GIL, so on a
+    # one-core host the build no longer serializes behind the ~7 s
+    # .prob.p wire fetch (this was the round-4 "~27% below the link
+    # bound" gap: host per batch was build + fetch + pack in sequence)
+    from concurrent.futures import ThreadPoolExecutor
+
+    futures: list = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for lo in range(0, N, batch_size):
+            t0 = time.perf_counter()
+            idxs = np.arange(lo, min(lo + batch_size, N))
+            pad = batch_size - len(idxs)
+            padded = np.concatenate([idxs, np.full(pad, idxs[-1])]) \
+                if pad else idxs
+            batch = make_batch(inputs, padded, cfg)
+            futures.append(pool.submit(resolve, idxs,
+                                       step_fn(params, batch)))
+            if timings is not None:
+                timings["build_s"] += time.perf_counter() - t0
+            # bound in-flight device batches (and their host buffers)
+            # at 2, like the round-2 inline pipeline
+            if len(futures) > 2:
+                futures.pop(0).result()
+        for f in futures:
+            f.result()
     return output_data, beam_prob
 
 

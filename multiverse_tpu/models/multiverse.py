@@ -381,12 +381,29 @@ def model_forward(
                          compute_dtype=compute_dtype)
             enc_in = emb.reshape(N, T_obs, h, w, cfg.emb_size)
 
-        _, enc_last = convlstm_scan(
-            sp["enc_class"], enc_in, compute_dtype=compute_dtype,
-            remat=cfg.remat,
-            keep_prob=cfg.keep_prob, dropout_rng=site_rng(i, 0),
-        )
-        if not cfg.use_single_decoder:
+        fuse_pairs = cfg.fuse_scan_pairs and not cfg.use_single_decoder
+        if fuse_pairs:
+            # both encoder recurrences in ONE scan (ops/fused_scans.py;
+            # identical math — equality-tested — ~3% faster at the
+            # published train shape, bench_pairscan.py)
+            from multiverse_tpu.ops.fused_scans import (
+                paired_convlstm_scan,
+            )
+
+            (_, enc_last), (_, enc_reg_last) = paired_convlstm_scan(
+                sp["enc_class"], sp["enc_reg"], enc_in,
+                batch.obs_grid_target_all[idx],
+                compute_dtype=compute_dtype, remat=cfg.remat,
+                keep_prob=cfg.keep_prob,
+                dropout_rngs=(site_rng(i, 0), site_rng(i, 1)),
+            )
+        else:
+            _, enc_last = convlstm_scan(
+                sp["enc_class"], enc_in, compute_dtype=compute_dtype,
+                remat=cfg.remat,
+                keep_prob=cfg.keep_prob, dropout_rng=site_rng(i, 0),
+            )
+        if not cfg.use_single_decoder and not fuse_pairs:
             _, enc_reg_last = convlstm_scan(
                 sp["enc_reg"], batch.obs_grid_target_all[idx],
                 compute_dtype=compute_dtype, remat=cfg.remat,
@@ -406,6 +423,25 @@ def model_forward(
             class_fb, class_gt = "onehot", None
         else:
             class_fb, class_gt = "raw", None
+
+        if fuse_pairs and is_train and class_fb == "onehot" \
+                and not cfg.use_teacher_forcing:
+            # both decoder recurrences in one scan — train-time only:
+            # at inference the separate class decode takes the fused
+            # Pallas kernel path, which no scan pairing approaches
+            from multiverse_tpu.ops.fused_scans import paired_decode_scan
+
+            logits, states, reg = paired_decode_scan(
+                sp, cfg, obs_onehot[:, -1], enc_last,
+                batch.obs_grid_target_all[idx][:, -1], enc_reg_last,
+                T_pred, scene_mean, compute_dtype=compute_dtype,
+                remat=cfg.remat, keep_prob=cfg.keep_prob,
+                dropout_rngs=(site_rng(i, 2), site_rng(i, 3)),
+            )
+            class_logits[i] = logits
+            dec_states[i] = states
+            reg_out[i] = reg
+            continue
 
         logits, states = greedy_decode(
             sp, cfg,

@@ -149,6 +149,47 @@ def test_paired_decoder_grads_match(dec_setup, mode):
                                    err_msg=str(pa))
 
 
+def test_model_forward_fuse_scan_pairs_identical():
+    """cfg.fuse_scan_pairs flips the encoder+decoder pairs to the
+    merged scans; the full train-mode forward (incl. dropout — the
+    per-site rng streams must line up) is bit-identical."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_config, _synthetic_batch
+    from multiverse_tpu.models import model_forward
+
+    cfg = _flagship_config().replace(
+        scene_h=12, scene_w=16, enc_hidden_size=16, dec_hidden_size=16,
+        scene_conv_dim=8, emb_size=8, obs_len=3, pred_len=4,
+        keep_prob=0.7).validate()
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    batch = _synthetic_batch(cfg, 3, np.random.RandomState(3))
+    rng = jax.random.PRNGKey(5)
+    out = model_forward(params, batch, cfg, is_train=True, rng=rng)
+    out_f = model_forward(
+        params, batch, cfg.replace(fuse_scan_pairs=True).validate(),
+        is_train=True, rng=rng)
+    for d, df in ((out.class_logits, out_f.class_logits),
+                  (out.reg_out, out_f.reg_out),
+                  (out.dec_states, out_f.dec_states)):
+        for k in d:
+            np.testing.assert_array_equal(np.asarray(d[k]),
+                                          np.asarray(df[k]))
+    # and gradients through the paired path stay finite + matching
+    def loss(p, fuse):
+        c = cfg.replace(fuse_scan_pairs=fuse).validate()
+        o = model_forward(p, batch, c, is_train=True, rng=rng)
+        i = c.active_scales[0]
+        return jnp.sum(o.class_logits[i] ** 2) + jnp.sum(o.reg_out[i] ** 2)
+
+    g = jax.grad(loss)(params, False)
+    gf = jax.grad(loss)(params, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("mode", ["two_convs", "blockdiag"])
 def test_paired_encoder_dropout_matches_separate(enc_setup, mode):
     """Dropout parity: each half must consume the SAME rng stream the

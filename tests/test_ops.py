@@ -567,3 +567,13 @@ def test_analytic_flops_accounting():
     # disabling the GNN removes its per-step cost
     assert train_fwd_flops(cfg.replace(use_gnn=False), 20) < \
         train_fwd_flops(cfg, 20)
+
+    # the int8a-tier partition sums exactly to the total, and the class
+    # readout really is negligible (the recorded quantize-the-readout
+    # negative, VERDICT r4 #4)
+    from multiverse_tpu.flops import beam_decode_flops_split
+    split = beam_decode_flops_split(cfg, 64, 25)
+    assert split["int8_gate"] + split["int8_attn"] \
+        + split["bf16_rest"] == f1
+    assert split["bf16_readout_class"] / f1 < 0.002
+    assert split["int8_gate"] / f1 > 0.5
