@@ -403,7 +403,9 @@ def stage_infer(work, args):
             "--obs_length", str(OBS_LEN), "--num_out", "20",
             "--diverse_beam", "--diverse_gamma", "0.01",
             "--fix_num_timestep", "1",
-            "--grid_strides", "2,4", "--use_grids", "1,1",
+            # the reference's published flow: trained with both grid
+            # scales, decoded with scale 0 active (TESTING.md)
+            "--grid_strides", "2,4", "--use_grids", "1,0",
             "--use_gnn", "--use_scene_enc",
             "--scene_feat_path", meta["mf_scene"],
             "--scene_id2name", meta["id2name"],

@@ -54,11 +54,7 @@ class CheckpointManager:
             step = self._latest(best)
         if step is None:
             raise FileNotFoundError("no checkpoint found")
-        restored = mgr.restore(
-            step,
-            args=ocp.args.StandardRestore({"params": template}),
-        )
-        return restored["params"]
+        return _restore_params_subset(mgr, step, template)
 
     def restore_train_state(self, params_template: dict,
                             opt_state_template, best: bool = False):
@@ -87,6 +83,45 @@ class CheckpointManager:
         return mgr.latest_step()
 
 
+def _prune_to_template(saved, template, path="params"):
+    """Keep only the template's keys from a restored pytree — the
+    orbax analog of the reference's scope-filtered var loading: a
+    model trained with --use_grids 1,1 is tested/decoded with 1,0
+    (reference TESTING.md trains both scales, every test/inference
+    command activates scale 0 only), so the checkpoint may carry MORE
+    scales than the consumer's template."""
+    if isinstance(template, dict):
+        if not isinstance(saved, dict):
+            raise ValueError(f"{path}: checkpoint leaf where the "
+                             f"template has a subtree")
+        out = {}
+        for k, sub in template.items():
+            if k not in saved:
+                raise KeyError(
+                    f"{path}.{k}: required by the model config but "
+                    f"missing from the checkpoint")
+            out[k] = _prune_to_template(saved[k], sub, f"{path}.{k}")
+        return out
+    if tuple(getattr(saved, "shape", ())) != tuple(template.shape):
+        raise ValueError(
+            f"{path}: checkpoint shape {getattr(saved, 'shape', None)} "
+            f"!= model shape {template.shape}")
+    return saved
+
+
+def _restore_params_subset(mgr, step: int, template: dict) -> dict:
+    """StandardRestore against the template; when the checkpoint holds
+    a SUPERSET of the template (extra grid scales), restore as-saved
+    and prune."""
+    try:
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore({"params": template}))
+        return restored["params"]
+    except ValueError:
+        restored = mgr.restore(step)
+        return _prune_to_template(restored["params"], template)
+
+
 def restore_params_from(path: str, template: dict) -> dict:
     """Standalone restore for inference (reference:
     code/multifuture_inference.py:275-299 scope-filtered load)."""
@@ -94,9 +129,7 @@ def restore_params_from(path: str, template: dict) -> dict:
     step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError("no checkpoint in %s" % path)
-    restored = mgr.restore(
-        step, args=ocp.args.StandardRestore({"params": template}))
-    return restored["params"]
+    return _restore_params_subset(mgr, step, template)
 
 
 def process_out_dirs(outbasepath: str, modelname: str, run_id: int) -> str:

@@ -182,6 +182,48 @@ def test_train_resume_from_checkpoint(trained, prepro, workdir):
     assert perf["val_perf"][0][0] is None
 
 
+def test_restore_scale_subset(tmp_path):
+    """A checkpoint trained with --use_grids 1,1 restores into a
+    --use_grids 1,0 consumer (the reference's own published flow:
+    TESTING.md trains both scales, every test/inference command
+    activates scale 0 only — its TF loader scope-filters; ours prunes
+    the restored tree to the template)."""
+    import jax
+
+    from multiverse_tpu.config import MultiverseConfig
+    from multiverse_tpu.models import init_params
+    from multiverse_tpu.train.checkpoints import (
+        CheckpointManager,
+        restore_params_from,
+    )
+
+    base = dict(
+        obs_len=4, pred_len=5, scene_h=12, scene_w=16, scene_class=5,
+        emb_size=8, enc_hidden_size=16, dec_hidden_size=16,
+        scene_conv_dim=8, scene_grid_strides=(2, 4))
+    cfg_both = MultiverseConfig(
+        use_grids=(True, True), **base).validate()
+    cfg_one = MultiverseConfig(
+        use_grids=(True, False), **base).validate()
+    params = init_params(jax.random.PRNGKey(0), cfg_both)
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(1, jax.device_get(params))
+
+    tpl = init_params(jax.random.PRNGKey(1), cfg_one)
+    restored = restore_params_from(str(tmp_path / "save"), tpl)
+    assert sorted(restored["scales"]) == ["0"]
+    np.testing.assert_array_equal(
+        restored["scales"]["0"]["enc_class"]["kernel"],
+        np.asarray(params["scales"]["0"]["enc_class"]["kernel"]))
+    # a template needing a scale the checkpoint lacks still fails loud
+    tpl_both = init_params(jax.random.PRNGKey(2), cfg_both)
+    ckpt2 = CheckpointManager(str(tmp_path / "one"))
+    ckpt2.save(1, jax.device_get(init_params(jax.random.PRNGKey(3),
+                                             cfg_one)))
+    with pytest.raises((KeyError, ValueError)):
+        restore_params_from(str(tmp_path / "one" / "save"), tpl_both)
+
+
 def test_test_cli_beam_mode(trained, prepro, workdir, capsys):
     """mvt-test with beam search saves beam ids/logprobs in the output
     pickle (reference: code/pred_utils.py:379-394,519-531)."""
