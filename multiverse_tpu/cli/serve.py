@@ -6,8 +6,10 @@ checkpoint, compiles ONE static-shape decode graph, and serves HTTP
 predictions through a dynamic batcher (see
 multiverse_tpu/serving/engine.py for the design).
 
-    mvt-serve outbasepath modelname --port 8500 --max_batch 16 \
-        --max_delay_ms 5 --beam_size 20
+    mvt-serve outbasepath modelname --port 8500 --beam_size 20
+
+max_batch defaults to the measured latency/throughput knee per tier
+(8 for beam, 32 for --greedy; BENCH_SERVE_r05.json).
 """
 
 from __future__ import annotations
@@ -41,7 +43,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="serve untrained weights (smoke tests)")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8500)
-    parser.add_argument("--max_batch", type=int, default=16)
+    # defaults follow the measured latency/throughput curve
+    # (BENCH_SERVE_r05.json): the K=20 beam decode saturates the MXU
+    # from batch 8 up (beams fold into the batch axis), so a larger
+    # max_batch only adds median latency; greedy deployments should
+    # pass --max_batch 32 (its measured knee)
+    parser.add_argument("--max_batch", type=int, default=None,
+                        help="dynamic-batch cap (default: 8 for beam "
+                             "— throughput-flat, lowest p50; 32 for "
+                             "--greedy — its measured knee; "
+                             "BENCH_SERVE_r05.json)")
     parser.add_argument("--max_delay_ms", type=float, default=5.0)
     parser.add_argument("--max_queue", type=int, default=None,
                         help="bound on queued (not yet batched) "
@@ -95,10 +106,20 @@ def resolve_serving_dtypes(backend: str, compute_dtype, decode_quant):
     return compute_dtype or "float32", decode_quant or "none"
 
 
+def resolve_max_batch(max_batch, greedy: bool) -> int:
+    """Tier default from the measured curve (BENCH_SERVE_r05.json):
+    beam throughput is flat across max_batch 8-64 while p50 scales
+    with batch, so 8 dominates; greedy's knee is 32."""
+    if max_batch is not None:
+        return max_batch
+    return 32 if greedy else 8
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     args.compute_dtype, args.decode_quant = resolve_serving_dtypes(
         jax.default_backend(), args.compute_dtype, args.decode_quant)
+    args.max_batch = resolve_max_batch(args.max_batch, args.greedy)
     cfg = config_from_args(args).replace(
         use_beam_search=not args.greedy).validate()
 
@@ -177,7 +198,8 @@ def main(argv=None) -> None:
         # dying mid-batch with waiters stranded
         raise SystemExit(0)
 
-    signal.signal(signal.SIGTERM, _sigterm)
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGTERM, _sigterm)
     try:
         if args.server_backend == "asyncio":
             server.wait()

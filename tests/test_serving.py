@@ -404,6 +404,23 @@ def test_tpu_serving_dtype_resolution_flag_spellings():
                    "tpu") == ("bfloat16", "int8a")
 
 
+def test_serve_max_batch_tier_default():
+    """mvt-serve's max_batch default follows the measured
+    latency/throughput curve (BENCH_SERVE_r05.json): 8 for the beam
+    tier (throughput-flat across the dial, lowest p50), 32 for
+    --greedy (its knee); an explicit --max_batch always wins."""
+    from multiverse_tpu.cli.serve import build_parser, resolve_max_batch
+
+    def resolved(argv):
+        a = build_parser().parse_args(["out", "model"] + argv)
+        return resolve_max_batch(a.max_batch, a.greedy)
+
+    assert resolved([]) == 8
+    assert resolved(["--greedy"]) == 32
+    assert resolved(["--max_batch", "64"]) == 64
+    assert resolved(["--greedy", "--max_batch", "4"]) == 4
+
+
 def test_close_fails_inflight_when_resolver_stuck(rng):
     """If the resolver cannot land in-flight batches before close()'s
     join timeout, their waiters are failed instead of being left to
