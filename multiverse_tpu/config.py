@@ -135,8 +135,12 @@ class MultiverseConfig:
     # 0.58x — decisively negative, the gate convs are
     # contraction-bound).  Inference keeps the separate class decode:
     # its fused Pallas kernel path is far faster than any scan-level
-    # pairing.
-    fuse_scan_pairs: bool = False
+    # pairing.  Default ON since the round-5 full-step A/B (12.17 ->
+    # 12.40 steps/s at the published train shape, SEGMENTS_r05.json):
+    # the math is bit-identical (tests/test_fused_scans.py, incl.
+    # dropout streams), so there is no parity reason to leave the win
+    # opt-in; --no_fuse_scan_pairs restores the separate scans.
+    fuse_scan_pairs: bool = True
 
     # Use the Pallas TPU kernels (fused decode step, dense GNN
     # attention) where available.  pallas_call lowers to an opaque
