@@ -212,11 +212,13 @@ def main():
     ap.add_argument("--iters", type=int, default=None,
                     help="timing iterations (default: 40 base, "
                          "20 simaug, 8 simaug_adv)")
-    ap.add_argument("--fuse_scan_pairs", action="store_true",
+    ap.add_argument("--fuse_scan_pairs", default=True,
+                    action=argparse.BooleanOptionalAction,
                     help="base mode: run the encoder/decoder pairs as "
-                         "merged scans (cfg.fuse_scan_pairs) — the "
-                         "bench_pairscan.py fusion, A/B'd at full-step "
-                         "altitude")
+                         "merged scans (cfg.fuse_scan_pairs; default ON "
+                         "to match the config/CLI default since round "
+                         "5) — --no-fuse_scan_pairs A/Bs the unfused "
+                         "path")
     args = ap.parse_args()
 
     from bench import _wait_for_backend

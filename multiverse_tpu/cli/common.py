@@ -115,7 +115,7 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
                              "lax.scan — identical math (bit-equality "
                              "tested), +1.9%% full-step training "
                              "(SEGMENTS_r05.json); "
-                             "--no_fuse_scan_pairs restores the "
+                             "--no-fuse_scan_pairs restores the "
                              "separate scans")
 
 

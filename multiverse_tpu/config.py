@@ -139,7 +139,7 @@ class MultiverseConfig:
     # 12.40 steps/s at the published train shape, SEGMENTS_r05.json):
     # the math is bit-identical (tests/test_fused_scans.py, incl.
     # dropout streams), so there is no parity reason to leave the win
-    # opt-in; --no_fuse_scan_pairs restores the separate scans.
+    # opt-in; --no-fuse_scan_pairs restores the separate scans.
     fuse_scan_pairs: bool = True
 
     # Use the Pallas TPU kernels (fused decode step, dense GNN

@@ -627,7 +627,7 @@ def run_multifuture_inference(
                 timings["build_s"] += time.perf_counter() - t0
             # bound in-flight device batches (and their host buffers)
             # at 2, like the round-2 inline pipeline
-            if len(futures) > 2:
+            if len(futures) >= 2:
                 futures.pop(0).result()
         for f in futures:
             f.result()

@@ -109,17 +109,48 @@ def _prune_to_template(saved, template, path="params"):
     return saved
 
 
+def _tree_has_extra_keys(saved, template) -> bool:
+    """True iff the saved tree carries dict keys the template lacks
+    anywhere (the extra-grid-scales superset case)."""
+    if isinstance(template, dict):
+        if not isinstance(saved, dict):
+            return False
+        if set(saved) - set(template):
+            return True
+        return any(_tree_has_extra_keys(saved[k], template[k])
+                   for k in template if k in saved)
+    return False
+
+
 def _restore_params_subset(mgr, step: int, template: dict) -> dict:
-    """StandardRestore against the template; when the checkpoint holds
-    a SUPERSET of the template (extra grid scales), restore as-saved
-    and prune."""
+    """Restore against the template, tolerating checkpoints that hold a
+    SUPERSET of it (extra grid scales — the reference's published flow
+    trains --use_grids 1,1 and tests with scale 0 only).
+
+    The path is decided from the checkpoint's tree METADATA (cheap, no
+    tensor I/O): only a genuine key superset restores as-saved + prune;
+    everything else goes through StandardRestore so corrupt checkpoints
+    and same-scale shape mismatches surface orbax's own diagnostic
+    instead of a prune-phase error after a second full read."""
+    saved_meta = None
     try:
-        restored = mgr.restore(
-            step, args=ocp.args.StandardRestore({"params": template}))
-        return restored["params"]
-    except ValueError:
+        # a freshly-opened CheckpointManager returns None from
+        # item_metadata (its handler registry is lazily built), so read
+        # the tree metadata straight off the step directory instead
+        # (the layout <dir>/<step>/default is this module's own save
+        # format above)
+        meta = ocp.StandardCheckpointer().metadata(
+            mgr.directory / str(step) / "default")
+        saved_meta = meta.item_metadata["params"]
+    except Exception:
+        pass  # metadata unavailable: let StandardRestore decide
+    if saved_meta is not None and _tree_has_extra_keys(saved_meta,
+                                                       template):
         restored = mgr.restore(step)
         return _prune_to_template(restored["params"], template)
+    restored = mgr.restore(
+        step, args=ocp.args.StandardRestore({"params": template}))
+    return restored["params"]
 
 
 def restore_params_from(path: str, template: dict) -> dict:

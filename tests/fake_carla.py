@@ -80,9 +80,12 @@ class _BoundingBox:
 
 _ids = itertools.count(1)
 
-# commanded-speed fraction a real walker covers per tick (the
-# acceleration ramp the reference's ×1.22 calibration offsets)
-WALKER_SPEED_EFFICIENCY = 1.22
+# commanded-speed fraction a real walker covers per tick — by
+# construction EXACTLY the ramp controls.SPEED_CALIBRATION offsets, so
+# calibrated replays land back on the source trajectory; import the
+# constant rather than duplicating it (controls.py imports no carla)
+from multiverse_tpu.forking_paths.controls import \
+    SPEED_CALIBRATION as WALKER_SPEED_EFFICIENCY
 
 
 class Image:

@@ -166,7 +166,11 @@ def test_model_forward_fuse_scan_pairs_identical():
     params = init_params(jax.random.PRNGKey(2), cfg)
     batch = _synthetic_batch(cfg, 3, np.random.RandomState(3))
     rng = jax.random.PRNGKey(5)
-    out = model_forward(params, batch, cfg, is_train=True, rng=rng)
+    # pin BOTH sides: fuse_scan_pairs defaults to True since round 5,
+    # so an un-pinned baseline would compare fused against fused
+    out = model_forward(
+        params, batch, cfg.replace(fuse_scan_pairs=False).validate(),
+        is_train=True, rng=rng)
     out_f = model_forward(
         params, batch, cfg.replace(fuse_scan_pairs=True).validate(),
         is_train=True, rng=rng)
