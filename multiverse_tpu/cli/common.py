@@ -103,6 +103,13 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
                         help="none|int8|int8a|int8_dyn — int8 MXU mode for "
                              "the fused beam-decode gate matmul "
                              "(inference fast path on bfloat16)")
+    parser.add_argument("--beam_select", default="twostage",
+                        choices=["twostage", "dense"],
+                        help="beam successor selection: 'twostage' "
+                             "(per-beam top-K then global top-K over "
+                             "K*K — exact same winners/ties as dense, "
+                             "no O((H*W)^2) rank pass) or 'dense' (the "
+                             "full-row form)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder/decoder scan steps "
                              "in the backward (1/3 more FLOPs, O(T) "
@@ -169,6 +176,7 @@ def config_from_args(args: argparse.Namespace) -> MultiverseConfig:
         norm_input=args.norm_input,
         compute_dtype=args.compute_dtype,
         decode_quant=getattr(args, "decode_quant", "none"),
+        beam_select=getattr(args, "beam_select", "twostage"),
         remat=getattr(args, "remat", False),
         fuse_scan_pairs=getattr(args, "fuse_scan_pairs", True),
         **grid_kw,

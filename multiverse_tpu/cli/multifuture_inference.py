@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
              "tier — metric-neutral vs f32 at 8 seeds on exactly this "
              "eval stack (Q8A_METRICS_r04.json) and the fastest decode "
              "on chip; 'none' keeps the bf16/f32 parity path")
+    parser.add_argument(
+        "--beam_select", default="twostage",
+        choices=["twostage", "dense"],
+        help="beam successor selection: 'twostage' (per-beam top-K "
+             "then global top-K over K*K — exact same winners/ties as "
+             "dense, no O((H*W)^2) rank pass) or 'dense' (the "
+             "rounds-1..4 full-row form)")
     return parser
 
 
@@ -107,6 +114,7 @@ def main(argv=None) -> None:
         fix_num_timestep=args.fix_num_timestep,
         compute_dtype=args.compute_dtype,
         decode_quant=args.decode_quant,
+        beam_select=args.beam_select,
         **MultiverseConfig.parse_strides(args.grid_strides, args.use_grids),
     ).validate()
 

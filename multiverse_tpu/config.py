@@ -116,6 +116,24 @@ class MultiverseConfig:
     # ops/pallas_decode.py int8 section + STATUS.md).
     decode_quant: str = "none"
 
+    # Per-step beam-successor selection algorithm:
+    # * "twostage" (default): per-beam stable top-K of the raw logits
+    #   (monotone in the per-row log-softmax, so sorted position ==
+    #   the diversity rank), then global top-K over the K*K survivors.
+    #   EXACT — a dominance argument shows a candidate ranked >= K
+    #   within its beam can never reach the global top-K when the rank
+    #   penalty is non-positive (log(gamma) <= 0), and lax.top_k's
+    #   lower-index-first tie-break reproduces the dense path's
+    #   (parent, cell) tie order (models/beam_search.py proof;
+    #   property-tested against the dense form incl. injected ties).
+    #   Removes the O((H*W)^2) comparison-count rank pass and the full
+    #   [N,K,H*W] log-softmax from every decode step.
+    # * "dense": the round-1..4 form — full-row log_softmax + rank
+    #   penalty over all H*W candidates + flat top-K over K*H*W.
+    #   Automatic fallback whenever the dominance precondition fails
+    #   (K > H*W, or diverse_gamma > 1).
+    beam_select: str = "twostage"
+
     # Rematerialize the encoder/decoder scan steps in the backward pass
     # (jax.checkpoint): per-step conv/gate residuals are recomputed
     # instead of stored, cutting the O(T · N · h · w · 4D) HLO-temp HBM
@@ -194,6 +212,10 @@ class MultiverseConfig:
             # f32 compute they would silently never engage
             raise ValueError(
                 "decode_quant requires compute_dtype=bfloat16")
+        if self.beam_select not in ("twostage", "dense"):
+            raise ValueError(
+                f"beam_select must be twostage|dense, got "
+                f"{self.beam_select!r}")
         return self
 
     # ------------------------------------------------------------------

@@ -84,6 +84,72 @@ def add_diversity_penalty(logprobs: jnp.ndarray, gamma: float) -> jnp.ndarray:
     return logprobs + math.log(gamma) * ranks.astype(logprobs.dtype)
 
 
+def select_successors_dense(logprob: jnp.ndarray, logits_t: jnp.ndarray,
+                            K: int, t, diverse: bool, gamma: float):
+    """The rounds-1..4 successor selection: full-row log_softmax +
+    rank penalty over all H*W candidates, flat top-K over K*H*W.
+    Kept as the `beam_select="dense"` path, the automatic fallback
+    when the two-stage dominance precondition fails, and the oracle
+    the two-stage form is property-tested against."""
+    N, _, HW = logits_t.shape
+    cand = logprob[:, :, None] + jax.nn.log_softmax(logits_t, axis=-1)
+    if diverse:
+        cand = add_diversity_penalty(cand, gamma)
+    # t == 0: all beams identical -> restrict to beam 0
+    beam0_only = jnp.where(
+        (jnp.arange(cand.shape[1]) == 0)[None, :, None], cand, NEG_INF)
+    cand = jnp.where(t == 0, beam0_only, cand)
+    new_logprob, flat_idx = jax.lax.top_k(cand.reshape(N, -1), K)
+    ids = (flat_idx % HW).astype(jnp.int32)
+    parents = (flat_idx // HW).astype(jnp.int32)
+    return new_logprob, ids, parents
+
+
+def select_successors_twostage(logprob: jnp.ndarray,
+                               logits_t: jnp.ndarray,
+                               K: int, t, diverse: bool, gamma: float):
+    """Dominance-pruned successor selection — EXACTLY the dense form's
+    winners, scores, and tie order, without the O((H*W)^2) rank pass or
+    a full-row log_softmax.
+
+    Dominance: within a beam, the penalized score of the rank-i
+    candidate is base_i + log(gamma)*i with base_0 >= base_1 >= ...
+    (stable descending order) and log(gamma) <= 0, so penalized scores
+    are non-increasing in rank — if a candidate ranked r >= K reached
+    the global top-K, its own beam's ranks 0..K-1 would all score >= it
+    and fill the top-K first.  Hence only each beam's top-K matter.
+
+    Exactness of ties: lax.top_k breaks ties lower-index-first, so the
+    per-beam stage orders equal raw logits by cell id (== the
+    comparison-count rank's stable order), and the K*K stage orders
+    equal penalized scores by (parent, within-beam rank); rank order
+    equals cell order for tied scores, reproducing the dense flat
+    index's (parent, cell) order.  With the penalty active, equal
+    penalized scores within a beam are impossible for gamma < 1 (they
+    would need base_i < base_j with i < j).  Property-tested against
+    select_successors_dense with injected ties.
+
+    The raw logits stand in for their log-softmax (a per-row monotone
+    shift); the logsumexp correction is applied to the K survivors
+    only.
+    """
+    N, _, HW = logits_t.shape
+    vals, cells = jax.lax.top_k(logits_t, K)            # [N, K, K]
+    lse = jax.scipy.special.logsumexp(
+        logits_t, axis=-1, keepdims=True)               # [N, K, 1]
+    cand = logprob[:, :, None] + (vals - lse)
+    if diverse:
+        cand = cand + math.log(gamma) * jnp.arange(K, dtype=cand.dtype)
+    beam0_only = jnp.where(
+        (jnp.arange(cand.shape[1]) == 0)[None, :, None], cand, NEG_INF)
+    cand = jnp.where(t == 0, beam0_only, cand)
+    new_logprob, flat = jax.lax.top_k(cand.reshape(N, K * K), K)
+    parents = (flat // K).astype(jnp.int32)
+    ids = jnp.take_along_axis(
+        cells.reshape(N, K * K), flat, axis=1).astype(jnp.int32)
+    return new_logprob, ids, parents
+
+
 def _fold(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape((-1,) + x.shape[2:])
 
@@ -159,6 +225,12 @@ def diverse_beam_search(
              and cfg.allow_pallas
              and pallas_decode.fused_decode_available()
              and use_gnn and not save_states)
+    # two-stage selection needs the dominance precondition: rank
+    # penalty non-positive (gamma <= 1) and K candidates per beam
+    twostage = (cfg.beam_select == "twostage" and K <= HW
+                and (not cfg.diverse_beam or cfg.diverse_gamma <= 1.0))
+    select_fn = (select_successors_twostage if twostage
+                 else select_successors_dense)
     # opt-in int8 gate matmul (2x the bf16 MXU peak); quantized
     # operands are precomputed ONCE here, outside the scan.
     # "int8" = single fused matmul with static scales;
@@ -211,21 +283,11 @@ def diverse_beam_search(
             logits_t = conv2d(h2g_p, out, compute_dtype=compute_dtype)
         logits_t = logits_t.reshape(N, K, HW)
 
-        # --- accumulate scores
-        cand = logprob[:, :, None] + jax.nn.log_softmax(logits_t, axis=-1)
-        if cfg.diverse_beam:
-            cand = add_diversity_penalty(cand, cfg.diverse_gamma)
-        # t == 0: all beams identical -> restrict to beam 0
-        beam0_only = jnp.where(
-            (jnp.arange(K) == 0)[None, :, None], cand, NEG_INF
-        )
-        cand = jnp.where(t == 0, beam0_only, cand)
-
-        new_logprob, flat_idx = jax.lax.top_k(cand.reshape(N, K * HW), K)
+        # --- accumulate scores + top-K successor selection
+        new_logprob, ids, parents = select_fn(
+            logprob, logits_t, K, t, cfg.diverse_beam, cfg.diverse_gamma)
         new_logprob = jnp.where(t + 1 <= cfg.fix_num_timestep,
                                 jnp.zeros_like(new_logprob), new_logprob)
-        ids = (flat_idx % HW).astype(jnp.int32)
-        parents = (flat_idx // HW).astype(jnp.int32)
 
         # --- freeze finished samples (variable pred_length batching)
         if pred_length is not None:

@@ -358,3 +358,65 @@ def test_q8_beam_wiring_interpret(rng, monkeypatch, quant):
         np.testing.assert_allclose(
             np.asarray(out8.logprobs[n]), np.asarray(out_n.logprobs[0]),
             rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("diverse,gamma", [
+    (True, 0.01), (True, 0.5), (True, 1.0), (False, 0.01)])
+def test_twostage_select_equals_dense(diverse, gamma):
+    """select_successors_twostage == select_successors_dense — winners,
+    scores, parents, and TIE ORDER — on tie-heavy inputs (integer-grid
+    logits make within-row and cross-beam ties common; distinct raw
+    logits differ by >= 1 so the two paths' different log-softmax
+    roundings cannot flip any comparison)."""
+    from multiverse_tpu.models.beam_search import (
+        select_successors_dense,
+        select_successors_twostage,
+    )
+
+    N, K, HW = 3, 5, 12
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        logits = jnp.asarray(
+            rng.randint(0, 6, (N, K, HW)).astype(np.float32))
+        logprob = jnp.asarray(
+            rng.randint(0, 4, (N, K)).astype(np.float32) * 0.5)
+        for t in (0, 2):
+            lp_d, ids_d, par_d = select_successors_dense(
+                logprob, logits, K, jnp.asarray(t), diverse, gamma)
+            lp_t, ids_t, par_t = select_successors_twostage(
+                logprob, logits, K, jnp.asarray(t), diverse, gamma)
+            np.testing.assert_array_equal(
+                np.asarray(ids_d), np.asarray(ids_t))
+            np.testing.assert_array_equal(
+                np.asarray(par_d), np.asarray(par_t))
+            np.testing.assert_allclose(
+                np.asarray(lp_d), np.asarray(lp_t), rtol=1e-5,
+                atol=1e-5)
+    # a continuous trial (ties measure-zero): float logits
+    logits = jnp.asarray(rng.randn(N, K, HW).astype(np.float32) * 3)
+    logprob = jnp.asarray(rng.randn(N, K).astype(np.float32))
+    lp_d, ids_d, par_d = select_successors_dense(
+        logprob, logits, K, jnp.asarray(1), diverse, gamma)
+    lp_t, ids_t, par_t = select_successors_twostage(
+        logprob, logits, K, jnp.asarray(1), diverse, gamma)
+    np.testing.assert_array_equal(np.asarray(ids_d), np.asarray(ids_t))
+    np.testing.assert_array_equal(np.asarray(par_d), np.asarray(par_t))
+    np.testing.assert_allclose(
+        np.asarray(lp_d), np.asarray(lp_t), rtol=1e-5, atol=1e-5)
+
+
+def test_beam_select_dense_config_matches_twostage_end_to_end(rng):
+    """The cfg.beam_select="dense" fallback and the default twostage
+    path produce identical decodes through the full beam search."""
+    cfg, sp, first, state, scene_mean = _setup(rng)
+    T = 6
+    out_t = diverse_beam_search(
+        sp, cfg, first, state, T, scene_mean=scene_mean)
+    out_d = diverse_beam_search(
+        sp, cfg.replace(beam_select="dense").validate(), first, state,
+        T, scene_mean=scene_mean)
+    np.testing.assert_array_equal(np.asarray(out_t.ids),
+                                  np.asarray(out_d.ids))
+    np.testing.assert_allclose(np.asarray(out_t.logprobs),
+                               np.asarray(out_d.logprobs),
+                               rtol=1e-5, atol=1e-5)
