@@ -85,7 +85,10 @@ def _check_diversity_penalty_fusion(jax):
     compiles this to ZERO temp bytes; XLA-CPU materializes ~3.4 GB at
     the same shape, which is what a TPU regression would look like.
     Failing here fails the graded bench loudly instead of silently
-    costing N·K·576² per decode step."""
+    costing N·K·576² per decode step.  Since round 5 the HOT path is
+    the two-stage select (beam_select="twostage", no rank pass at
+    all); this guard keeps covering the beam_select="dense" fallback
+    that engages when K > H*W or diverse_gamma > 1."""
     import jax.numpy as jnp
 
     from multiverse_tpu.models.beam_search import add_diversity_penalty
@@ -240,8 +243,9 @@ def main():
             "vs_baseline": None,
             "error": f"TPU backend unreachable: {exc}",
             "note": "chip outage at bench time; last measured headline "
-                    "(int8a serving tier) was 106.4 traj/s = 1652x the "
-                    "measured baseline (STATUS.md §Perf, 2026-08-18)",
+                    "(int8a serving tier, two-stage select) was 106.9 "
+                    "traj/s = 1660x the measured baseline "
+                    "(BEAMSELECT_r05.json, 2026-08-20)",
         }))
         return
     print(f"bench: device={dev.platform}:{dev.device_kind}",
